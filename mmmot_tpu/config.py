@@ -1,0 +1,255 @@
+"""Experiment configuration system.
+
+The reference drives every experiment from ``experiments/<name>/config.yaml``
+loaded into an attribute dict (reference: ``main.py`` -> ``yaml.safe_load`` +
+EasyDict; SURVEY.md §2.19/§5.6).  We keep the same shape of knobs — fusion
+variant A/B/C, correlation-op choice, branch on/off switches, point length,
+sample length — but as typed dataclasses so that configs are validated at load
+time and are hashable/static for ``jax.jit``.
+
+YAML files with the same key spelling as the reference experiments load
+directly via :func:`load_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import yaml
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+@dataclass(frozen=True)
+class AppearanceConfig:
+    """Image appearance branch (reference: models/appear_net.py -> VGG skip pool)."""
+
+    arch: str = "vgg"                  # backbone family
+    depth: int = 16                    # VGG depth (11/13/16/19)
+    batch_norm: bool = True
+    skip_pool: bool = True             # multi-stage skip pooling (reference headline)
+    reduction_dim: int = 256           # 1x1-reduced channels per pooled stage
+    out_dim: int = 512                 # per-detection embedding size
+    crop_size: Tuple[int, int] = (224, 224)
+    dropblock: bool = False
+
+    def __post_init__(self):
+        if self.depth not in (11, 13, 16, 19):
+            raise ValueError(f"VGG depth must be 11/13/16/19, got {self.depth}")
+        # Five 2x2 pools: crops must stay >= 1px at the deepest stage.
+        if min(self.crop_size) < 32:
+            raise ValueError(
+                f"crop_size {self.crop_size} too small: VGG has 5 pooling "
+                "stages, so crops must be at least 32x32")
+    dropblock_size: int = 7
+    dropblock_rate: float = 0.1
+    width_mult: float = 1.0            # channel-width multiplier (TPU extra)
+
+
+@dataclass(frozen=True)
+class PointConfig:
+    """LiDAR branch (reference: models/point_net.py -> PointNet_v1)."""
+
+    arch: str = "pointnet"
+    point_len: int = 512               # points sampled per detection
+    in_dim: int = 4                    # x, y, z, reflectance (+ optional extras)
+    channels: Tuple[int, ...] = (64, 128, 256, 512)
+    out_dim: int = 512
+    use_tnet: bool = False             # input spatial transform (PointNet T-Net)
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Modality fusion (reference: models/fusion_net.py, variants A/B/C).
+
+    A = concat + linear, B = additive, C = attention-gated (sigmoid gate per
+    modality).  ``keep_single`` keeps per-modality outputs alive so that
+    single-sensor inference still works (the paper's robustness story).
+    """
+
+    variant: str = "C"                 # "A" | "B" | "C"
+    out_dim: int = 512
+    keep_single: bool = True
+
+    def __post_init__(self):
+        if self.variant not in ("A", "B", "C"):
+            raise ValueError(f"fusion variant must be A/B/C, got {self.variant!r}")
+
+
+@dataclass(frozen=True)
+class AffinityConfig:
+    """Cross-frame affinity / correlation module (reference: models/gcn.py).
+
+    ``correlation_ops`` selects the pairwise feature interactions; the
+    reference experiment names encode these (e.g. ``subabs``).
+    """
+
+    correlation_ops: Tuple[str, ...] = ("subabs",)   # subset of {mul, subabs, diff, cosine}
+    hidden_dim: int = 512
+    num_layers: int = 2                # MLP depth on the pairwise tensor
+    gnn_rounds: int = 0                # message-passing refinement rounds over dets
+    softmax_mode: str = "dual"         # "dual" row+col softmax | "single" | "none"
+
+    def __post_init__(self):
+        bad = set(self.correlation_ops) - {"mul", "subabs", "diff", "cosine"}
+        if bad:
+            raise ValueError(f"unknown correlation ops {sorted(bad)}")
+        if self.softmax_mode not in ("dual", "single", "none"):
+            raise ValueError(f"bad softmax_mode {self.softmax_mode!r}")
+
+
+@dataclass(frozen=True)
+class NewEndConfig:
+    """Track birth/death heads (reference: models/new_end.py, NewEndIndicator_v2)."""
+
+    version: int = 2
+    hidden_dim: int = 256
+    pool: str = "max"                  # pooling over affinity rows/cols: max|mean|softmax
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    appearance: AppearanceConfig = field(default_factory=AppearanceConfig)
+    point: PointConfig = field(default_factory=PointConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    affinity: AffinityConfig = field(default_factory=AffinityConfig)
+    new_end: NewEndConfig = field(default_factory=NewEndConfig)
+    use_image: bool = True             # branch on/off switches (sensor dropout)
+    use_lidar: bool = True
+    feature_dim: int = 512
+    score_fusion: str = "add"          # how per-modality affinities combine: add|avg|fused-only
+    compute_dtype: str = "float32"     # "bfloat16" on TPU for speed; f32 for parity
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    root: str = "data/kitti_tracking"
+    det_source: str = "pointpillars"   # detection provider (pp / rrc)
+    split: str = "val"
+    max_dets: int = 64                 # padded detection slots per frame (Nmax)
+    sample_max_len: int = 2            # adjacent-frame pairs for training
+    crop_size: Tuple[int, int] = (224, 224)
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    point_len: int = 512
+    score_threshold: float = 0.0
+    augmentation: bool = True
+
+
+@dataclass(frozen=True)
+class AssocConfig:
+    """Data association solver (replaces reference OR-Tools CBC ILP)."""
+
+    solver: str = "auction"            # auction | sinkhorn | greedy | ilp (host oracle)
+    auction_eps: float = 1e-4
+    auction_scaling_steps: int = 4
+    sinkhorn_tau: float = 0.05
+    sinkhorn_iters: int = 100
+    link_threshold: float = 0.0        # min link score to accept a match
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optimizer: str = "adam"            # adam | sgd
+    lr: float = 3e-4
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    lr_schedule: str = "step"          # step | cosine | constant
+    lr_decay_epochs: Tuple[int, ...] = (20, 30)
+    lr_decay_rate: float = 0.1
+    warmup_steps: int = 200
+    epochs: int = 40
+    batch_size: int = 4                # frame pairs per step (per replica)
+    grad_clip: float = 10.0
+    loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)  # link, new, end, det
+    seed: int = 0
+    log_every: int = 20
+    ckpt_dir: str = "checkpoints"
+    ckpt_keep: int = 3
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. KITTI-scale tracking is data-parallel over sequences."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1                 # -1 -> all devices
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    assoc: AssocConfig = field(default_factory=AssocConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_NESTED = {
+    "model": ModelConfig,
+    "data": DataConfig,
+    "assoc": AssocConfig,
+    "train": TrainConfig,
+    "parallel": ParallelConfig,
+}
+_MODEL_NESTED = {
+    "appearance": AppearanceConfig,
+    "point": PointConfig,
+    "fusion": FusionConfig,
+    "affinity": AffinityConfig,
+    "new_end": NewEndConfig,
+}
+
+
+def _build(cls, d: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        ftype = fields[k].type
+        if isinstance(v, dict):
+            sub = _MODEL_NESTED.get(k) or _NESTED.get(k)
+            if sub is None:
+                raise TypeError(f"config key {k!r} does not take a mapping")
+            kw[k] = _build(sub, v)
+        elif isinstance(v, list):
+            kw[k] = tuple(v)
+        else:
+            kw[k] = v
+    return cls(**kw)
+
+
+def config_from_dict(d: Dict[str, Any]) -> Config:
+    return _build(Config, d)
+
+
+def config_to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML experiment config (reference: main.py yaml.safe_load)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return config_from_dict(raw)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(config_to_dict(cfg), f, sort_keys=False)

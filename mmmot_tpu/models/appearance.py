@@ -1,0 +1,125 @@
+"""Image appearance branch: VGG backbone with skip pooling.
+
+Rebuild of the reference appearance extractor (reference: models/appear_net.py
+-> VGG-16-bn backbone + multi-stage "skip pooling": pooled features from
+several conv stages are 1x1-reduced, concatenated, and projected to a fixed
+per-detection embedding).  TPU-first choices:
+
+* NHWC layout + channels-last convs (XLA's native TPU layout, feeds the MXU);
+* detection slots folded into the batch axis -> one big conv batch per frame
+  pair instead of per-crop python loops;
+* mask-aware BatchNorm so padded slots never pollute batch statistics;
+* compute dtype configurable (bfloat16 on TPU, float32 for parity tests).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmmot_tpu.config import AppearanceConfig
+from mmmot_tpu.models.layers import DropBlock2D, MaskedBatchNorm
+
+# VGG plans: channels per conv, "M" = 2x2 max-pool.
+VGG_PLANS = {
+    11: (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
+    13: (64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+         512, 512, "M"),
+    16: (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+         512, 512, 512, "M"),
+    19: (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+         512, 512, 512, 512, "M", 512, 512, 512, 512, "M"),
+}
+
+
+class VGGBackbone(nn.Module):
+    """VGG conv trunk returning the feature map after every pooling stage."""
+
+    depth: int = 16
+    batch_norm: bool = True
+    width_mult: float = 1.0
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool = False):
+        plan = VGG_PLANS[self.depth]
+        stages = []
+        conv_i = 0
+        for item in plan:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                stages.append(x)
+            else:
+                ch = max(8, int(item * self.width_mult))
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"conv_{conv_i}")(x)
+                if self.batch_norm:
+                    x = MaskedBatchNorm(dtype=self.dtype,
+                                        param_dtype=self.param_dtype,
+                                        name=f"bn_{conv_i}")(
+                        x, mask, use_running_average=not train)
+                x = nn.relu(x)
+                conv_i += 1
+        return stages
+
+
+class AppearanceNet(nn.Module):
+    """Per-detection appearance embedding with skip pooling.
+
+    Input crops ``[..., H, W, 3]`` (any leading batch/slot axes), slot mask
+    broadcastable over the leading axes.  Output ``[..., out_dim]``.
+    """
+
+    cfg: AppearanceConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, crops, mask=None, *, train: bool = False):
+        lead = crops.shape[:-3]
+        h, w, c = crops.shape[-3:]
+        x = crops.reshape((-1, h, w, c)).astype(self.dtype)
+        flat_mask = None if mask is None else mask.reshape((-1,))
+
+        stages = VGGBackbone(depth=self.cfg.depth,
+                             batch_norm=self.cfg.batch_norm,
+                             width_mult=self.cfg.width_mult,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="backbone")(x, flat_mask, train=train)
+
+        if self.cfg.dropblock:
+            stages = [DropBlock2D(rate=self.cfg.dropblock_rate,
+                                  block_size=self.cfg.dropblock_size,
+                                  name=f"dropblock_{i}")(
+                s, deterministic=not train) for i, s in enumerate(stages)]
+
+        if self.cfg.skip_pool:
+            # Skip pooling over the last three stages (conv3/conv4/conv5 in
+            # the reference): global max-pool each map, 1x1-reduce, concat.
+            picked = stages[-3:]
+        else:
+            picked = stages[-1:]
+
+        pooled = []
+        for i, s in enumerate(picked):
+            p = jnp.max(s, axis=(-3, -2))          # global max pool [B*, C]
+            p = nn.Dense(self.cfg.reduction_dim, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name=f"reduce_{i}")(p)
+            p = MaskedBatchNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                                name=f"reduce_bn_{i}")(
+                p, flat_mask, use_running_average=not train)
+            p = nn.relu(p)
+            pooled.append(p)
+        feat = jnp.concatenate(pooled, axis=-1)
+        feat = nn.Dense(self.cfg.out_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(feat)
+        feat = feat.reshape(lead + (self.cfg.out_dim,))
+        if mask is not None:
+            feat = feat * mask[..., None].astype(feat.dtype)
+        return feat

@@ -1,0 +1,148 @@
+"""The composed tracking network.
+
+Rebuild of the reference top-level net (reference: models/tracking_net.py ->
+TrackingNet.forward(dets, det_info, det_split)): appearance + LiDAR feature
+extraction, modality fusion, per-branch cross-frame affinity, start/end heads
+and an optional detection-confidence head.
+
+TPU-first shape contract (replaces the reference's variable-length
+``det_split`` lists): every frame carries ``N`` padded detection slots with a
+boolean mask, every batch element carries ``T`` frames, so one training batch
+is a fixed-shape pytree:
+
+    crops       [B, T, N, H, W, 3]   float   (ImageNet-normalised crops)
+    points      [B, T, N, P, C]      float   (frustum point samples)
+    point_mask  [B, T, N, P]         bool
+    det_mask    [B, T, N]            bool
+
+Forward produces affinities for every adjacent frame pair (T-1 pairs):
+
+    link  [B, T-1, N, N]   raw link scores (prev x curr)
+    new   [B, T-1, N]      birth score for each curr det
+    end   [B, T-1, N]      death score for each prev det
+    det   [B, T, N]        detection confidence (optional head)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmmot_tpu.config import ModelConfig
+from mmmot_tpu.models.affinity import AffinityModule, normalize_link
+from mmmot_tpu.models.appearance import AppearanceNet
+from mmmot_tpu.models.fusion import FusionModule
+from mmmot_tpu.models.layers import MLP
+from mmmot_tpu.models.new_end import NewEndHead
+from mmmot_tpu.models.pointnet import PointNet
+
+
+class AffinityOutput(NamedTuple):
+    link: jnp.ndarray          # raw combined link scores [.., Np, Nc]
+    link_norm: jnp.ndarray     # normalised link scores (dual softmax)
+    new: jnp.ndarray           # [.., Nc]
+    end: jnp.ndarray           # [.., Np]
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]
+
+
+class TrackingNet(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dt, pt = _dtype(c.compute_dtype), _dtype(c.param_dtype)
+        if c.use_image:
+            self.appear_net = AppearanceNet(cfg=c.appearance, dtype=dt,
+                                            param_dtype=pt)
+        if c.use_lidar:
+            self.point_net = PointNet(cfg=c.point, dtype=dt, param_dtype=pt)
+        self.fusion = FusionModule(cfg=c.fusion, dtype=dt, param_dtype=pt)
+
+        branches = ["fused"]
+        if c.score_fusion != "fused-only" and c.fusion.keep_single \
+                and c.use_image and c.use_lidar:
+            branches += ["image", "lidar"]
+        self.score_branches = tuple(branches)
+        self.affinity_mods = {
+            b: AffinityModule(cfg=c.affinity, dtype=dt, param_dtype=pt,
+                              name=f"affinity_{b}")
+            for b in self.score_branches}
+        self.new_end = NewEndHead(cfg=c.new_end, dtype=dt, param_dtype=pt)
+        self.det_head = MLP((c.new_end.hidden_dim, 1), use_bn=False,
+                            dtype=dt, param_dtype=pt, name="det_head")
+
+    # ---- feature extraction (per frame) --------------------------------
+    def extract(self, crops, points, point_mask, det_mask, *,
+                train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Per-detection embeddings for one or more frames.
+
+        Leading axes of the inputs are arbitrary; the slot axis is ``N``.
+        Returns a dict with keys ``fused`` (always) and ``image``/``lidar``
+        when those branches exist and ``keep_single`` is on.
+        """
+        c = self.cfg
+        img_feat = lidar_feat = None
+        if c.use_image and crops is not None:
+            img_feat = self.appear_net(crops, det_mask, train=train)
+        if c.use_lidar and points is not None:
+            lidar_feat = self.point_net(points, point_mask, det_mask,
+                                        train=train)
+        return self.fusion(img_feat, lidar_feat, det_mask)
+
+    # ---- affinity between two frames -----------------------------------
+    def affinity(self, feats_prev: Dict[str, jnp.ndarray],
+                 feats_curr: Dict[str, jnp.ndarray],
+                 mask_prev, mask_curr, *, train: bool = False
+                 ) -> AffinityOutput:
+        links = []
+        for b in self.score_branches:
+            if b not in feats_prev or b not in feats_curr:
+                continue
+            links.append(self.affinity_mods[b](
+                feats_prev[b], feats_curr[b], mask_prev, mask_curr,
+                train=train))
+        link = jnp.sum(jnp.stack(links), axis=0)
+        if self.cfg.score_fusion == "avg":
+            link = link / len(links)
+        new, end = self.new_end(feats_prev["fused"], feats_curr["fused"],
+                                link, mask_prev, mask_curr, train=train)
+        link_norm = normalize_link(link, mask_prev, mask_curr,
+                                   self.cfg.affinity.softmax_mode)
+        return AffinityOutput(link=link, link_norm=link_norm, new=new,
+                              end=end)
+
+    def det_score(self, fused_feat, det_mask):
+        s = self.det_head(fused_feat)[..., 0]
+        return s * det_mask.astype(s.dtype)
+
+    # ---- training forward over T-frame samples --------------------------
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+        crops = batch.get("crops")
+        points = batch.get("points")
+        point_mask = batch.get("point_mask")
+        det_mask = batch["det_mask"]
+        T = det_mask.shape[1]
+
+        feats = self.extract(crops, points, point_mask, det_mask, train=train)
+        outs = []
+        for t in range(T - 1):
+            fp = {k: v[:, t] for k, v in feats.items()}
+            fc = {k: v[:, t + 1] for k, v in feats.items()}
+            outs.append(self.affinity(fp, fc, det_mask[:, t],
+                                      det_mask[:, t + 1], train=train))
+        stack = lambda xs: jnp.stack(xs, axis=1)
+        det = self.det_score(feats["fused"], det_mask)
+        return {
+            "link": stack([o.link for o in outs]),
+            "link_norm": stack([o.link_norm for o in outs]),
+            "new": stack([o.new for o in outs]),
+            "end": stack([o.end for o in outs]),
+            "det": det,
+        }
