@@ -1,0 +1,180 @@
+"""Batched auction solver for the association LP — pure JAX.
+
+Replaces the reference's host-side OR-Tools CBC solve (reference:
+tracking_model.py ILP; SURVEY.md §3.2) with an in-graph solver that jits,
+vmaps and scans, so whole sequences stream through the TPU without per-frame
+host round-trips.
+
+Algorithm: forward auction (Bertsekas) with epsilon scaling on the square
+2Nx2N perfect-matching reduction from ``cost.py`` — Jacobi variant: every
+unassigned row bids simultaneously, each contested column accepts the single
+highest bid per round.  Prices rise by at least ``eps`` per accepted bid, so
+each phase terminates; the final matching is optimal within ``M * eps_final``,
+which for ``eps_final`` below the smallest score gap makes the *decisions*
+exact (verified against the host ILP oracle in tests/test_assoc_parity.py).
+
+Note on formulation: the tracking ILP also reduces to a *partial* matching on
+``gain[i,j] = link - end_i - new_j`` with outside option 0 (used by the
+greedy solver).  Auction with epsilon scaling is NOT sound on that variant —
+price warm-starts across phases violate the complementary-slackness
+requirement that unmatched columns end at price 0, and rows quit early —
+so the exact path pays for the full square reduction instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmmot_tpu.assoc.cost import (NEG, Decisions, build_assignment_cost,
+                                  decode_assignment)
+
+_BIG_NEG = -1e9
+
+
+def build_gain_matrix(link, new, end, mask_prev, mask_curr):
+    """gain[i,j] = link[i,j] - end[i] - new[j]; forbidden pairs -> NEG.
+
+    The tracking objective equals ``sum of matched gains + constant``, so
+    any max-weight *partial* matching on this matrix (outside option 0) is an
+    exact reformulation.  Used by greedy; see module docstring for why the
+    scaled auction does not run on this form.
+    """
+    pair_ok = (mask_prev.astype(bool)[..., :, None]
+               & mask_curr.astype(bool)[..., None, :])
+    gain = link - end[..., :, None] - new[..., None, :]
+    return jnp.where(pair_ok, gain, NEG)
+
+
+def _auction_phase(cost, prices, eps, max_iters):
+    """One epsilon phase: Jacobi auction until all rows assigned or cap."""
+    M = cost.shape[0]
+
+    def cond(state):
+        assign, owner, prices, it = state
+        return jnp.logical_and(jnp.any(assign < 0), it < max_iters)
+
+    def body(state):
+        assign, owner, prices, it = state
+        active = assign < 0
+        v = cost - prices[None, :]                             # [M, M]
+        best_j = jnp.argmax(v, axis=1)
+        best_v = jnp.max(v, axis=1)
+        v_wo = v.at[jnp.arange(M), best_j].set(_BIG_NEG)
+        second_v = jnp.max(v_wo, axis=1)
+        bid = best_v - second_v + eps
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        bids = jnp.where(active[:, None] & (cols == best_j[:, None]),
+                         bid[:, None], _BIG_NEG)
+        win_bid = jnp.max(bids, axis=0)
+        win_row = jnp.argmax(bids, axis=0).astype(jnp.int32)
+        contested = win_bid > _BIG_NEG / 2
+
+        prices = jnp.where(contested, prices + win_bid, prices)
+        displaced = contested & (owner >= 0)
+        assign = assign.at[jnp.where(displaced, owner, M)].set(
+            -1, mode="drop")
+        col_ids = jnp.arange(M, dtype=jnp.int32)
+        assign = assign.at[jnp.where(contested, win_row, M)].set(
+            jnp.where(contested, col_ids, -1), mode="drop")
+        owner = jnp.where(contested, win_row, owner)
+        return assign, owner, prices, it + 1
+
+    assign0 = jnp.full((M,), -1, jnp.int32)
+    owner0 = jnp.full((M,), -1, jnp.int32)
+    return jax.lax.while_loop(cond, body,
+                              (assign0, owner0, prices, jnp.int32(0)))[:3]
+
+
+def _complete_matching(cost, assign, owner):
+    """Greedy completion for rows left unassigned at the iteration cap.
+
+    Rare; keeps the output a valid perfect matching unconditionally.
+    """
+    M = cost.shape[0]
+
+    def body(i, carry):
+        assign, owner = carry
+
+        def fix(carry):
+            assign, owner = carry
+            vals = jnp.where(owner < 0, cost[i], _BIG_NEG)
+            j = jnp.argmax(vals).astype(jnp.int32)
+            return assign.at[i].set(j), owner.at[j].set(i)
+
+        return jax.lax.cond(assign[i] < 0, fix, lambda c: c, (assign, owner))
+
+    return jax.lax.fori_loop(0, M, body, (assign, owner))
+
+
+@partial(jax.jit, static_argnames=("scaling_steps", "max_iters"))
+def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
+                scaling_steps: int = 4, max_iters: int = 4000):
+    """Max-weight perfect matching on square ``cost`` [M, M].
+
+    Returns ``row_to_col`` int32 [M].  Phases run at geometrically
+    decreasing eps (span/4 -> eps); prices warm-start across phases,
+    assignments reset (standard epsilon scaling).
+    """
+    M = cost.shape[0]
+    allowed = cost > NEG / 2
+    cmax = jnp.max(jnp.where(allowed, cost, 0.0))
+    cmin = jnp.min(jnp.where(allowed, cost, cmax))
+    span = jnp.maximum(cmax - cmin, 1e-6)
+    prices = jnp.zeros((M,), cost.dtype)
+    assign = jnp.full((M,), -1, jnp.int32)
+    owner = jnp.full((M,), -1, jnp.int32)
+    for k in range(scaling_steps):
+        frac = k / max(scaling_steps - 1, 1)
+        eps_k = (span / 4.0) ** (1.0 - frac) * (eps ** frac)
+        eps_k = jnp.maximum(eps_k, eps).astype(cost.dtype)
+        assign, owner, prices = _auction_phase(cost, prices, eps_k, max_iters)
+    assign, owner = _complete_matching(cost, assign, owner)
+    return assign
+
+
+def decode_matching(row_to_col, mask_prev, mask_curr) -> Decisions:
+    """Decode a *partial* matching [.., N] (curr col or -1) into Decisions."""
+    N = mask_prev.shape[-1]
+    mp = mask_prev.astype(bool)
+    mc = mask_curr.astype(bool)
+    linked = (row_to_col >= 0) & mp
+    match_prev = jnp.where(linked, row_to_col, -1).astype(jnp.int32)
+    is_end = mp & ~linked
+
+    def invert(mprev, valid):
+        idx = jnp.where(valid, mprev, N)
+        src = jnp.arange(N, dtype=jnp.int32)
+        out = jnp.full((N + 1,), -1, jnp.int32).at[idx].set(
+            jnp.where(valid, src, -1), mode="drop")
+        return out[:N]
+
+    batch_shape = match_prev.shape[:-1]
+    flat = match_prev.reshape((-1, N))
+    flatv = linked.reshape((-1, N))
+    match_curr = jax.vmap(invert)(flat, flatv).reshape(batch_shape + (N,))
+    match_curr = jnp.where(mc, match_curr, -1)
+    is_new = mc & (match_curr < 0)
+    return Decisions(match_prev=match_prev, match_curr=match_curr,
+                     is_end=is_end, is_new=is_new)
+
+
+def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
+                  scaling_steps: int = 4, max_iters: int = 4000) -> Decisions:
+    """Full pipeline: scores -> square reduction -> auction -> decisions.
+
+    Supports arbitrary leading batch axes (vmapped internally).
+    """
+    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr)
+    batch_shape = cost.shape[:-2]
+    M = cost.shape[-1]
+    flat = cost.reshape((-1, M, M))
+    solve = jax.vmap(lambda c: auction_lap(c, eps=eps,
+                                           scaling_steps=scaling_steps,
+                                           max_iters=max_iters))
+    rc = solve(flat).reshape(batch_shape + (M,))
+    return decode_assignment(rc, mask_prev, mask_curr)

@@ -1,0 +1,115 @@
+"""Host-side exact solvers: the parity oracles.
+
+Two independent exact formulations of the reference association problem
+(reference: tracking_model.py ILP over ortools pywraplp / CBC):
+
+* :func:`solve_ilp_oracle` — the ILP written exactly as the reference writes
+  it (binary y_link/y_new/y_end, per-detection flow-conservation equalities),
+  solved with ``scipy.optimize.milp`` (HiGHS).  This is the ground truth.
+* :func:`solve_lap_oracle` — ``scipy.optimize.linear_sum_assignment`` on the
+  square assignment reduction from ``cost.py``.  Agreement between the two on
+  random instances proves the reduction is exact (tests/test_assoc_parity.py).
+
+Both run on host numpy and exist for testing and as a reference-faithful
+fallback path; the production tracker uses the in-graph solvers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.optimize as sopt
+import scipy.sparse as sp
+
+from mmmot_tpu.assoc.cost import Decisions, build_assignment_cost, decode_assignment
+
+
+def solve_lap_oracle(link, new, end, mask_prev, mask_curr) -> Decisions:
+    """Exact: Hungarian (JV) on the 2Nx2N assignment reduction."""
+    cost = np.asarray(build_assignment_cost(link, new, end, mask_prev,
+                                            mask_curr))
+    if cost.ndim != 2:
+        raise ValueError("oracle solves one instance at a time")
+    row, col = sopt.linear_sum_assignment(cost, maximize=True)
+    rc = np.empty(cost.shape[0], np.int32)
+    rc[row] = col.astype(np.int32)
+    import jax.numpy as jnp
+    return decode_assignment(jnp.asarray(rc), jnp.asarray(mask_prev),
+                             jnp.asarray(mask_curr))
+
+
+def solve_ilp_oracle(link, new, end, mask_prev, mask_curr) -> Decisions:
+    """Exact: the reference-shaped binary ILP via scipy.optimize.milp.
+
+    Variables (valid slots only): y_link[i,j], y_end[i], y_new[j].
+    Constraints: sum_j y_link[i,j] + y_end[i] = 1 for every valid prev i;
+                 sum_i y_link[i,j] + y_new[j] = 1 for every valid curr j.
+    Objective:   maximize sum link*y_link + sum new*y_new + sum end*y_end.
+    """
+    link = np.asarray(link, np.float64)
+    new = np.asarray(new, np.float64)
+    end = np.asarray(end, np.float64)
+    mp = np.asarray(mask_prev, bool)
+    mc = np.asarray(mask_curr, bool)
+    N = link.shape[-1]
+    pi = np.flatnonzero(mp)          # valid prev indices
+    ci = np.flatnonzero(mc)          # valid curr indices
+    npv, ncv = len(pi), len(ci)
+
+    # Variable layout: [y_link (npv*ncv), y_end (npv), y_new (ncv)]
+    n_link = npv * ncv
+    n_var = n_link + npv + ncv
+    c = np.concatenate([
+        -link[np.ix_(pi, ci)].ravel(),   # milp minimises -> negate
+        -end[pi],
+        -new[ci],
+    ]) if n_var else np.zeros(0)
+
+    rows, cols, vals = [], [], []
+    # Prev constraints.
+    for a in range(npv):
+        for b in range(ncv):
+            rows.append(a); cols.append(a * ncv + b); vals.append(1.0)
+        rows.append(a); cols.append(n_link + a); vals.append(1.0)
+    # Curr constraints.
+    for b in range(ncv):
+        for a in range(npv):
+            rows.append(npv + b); cols.append(a * ncv + b); vals.append(1.0)
+        rows.append(npv + b); cols.append(n_link + npv + b); vals.append(1.0)
+
+    match_prev = np.full(N, -1, np.int32)
+    is_end = np.zeros(N, bool)
+    is_new = np.zeros(N, bool)
+
+    if n_var:
+        A = sp.csr_matrix((vals, (rows, cols)), shape=(npv + ncv, n_var))
+        ones = np.ones(npv + ncv)
+        res = sopt.milp(
+            c=c,
+            constraints=sopt.LinearConstraint(A, ones, ones),
+            integrality=np.ones(n_var),
+            bounds=sopt.Bounds(0, 1),
+        )
+        if not res.success:
+            raise RuntimeError(f"ILP oracle failed: {res.message}")
+        y = np.round(res.x).astype(int)
+        y_link = y[:n_link].reshape(npv, ncv)
+        y_end = y[n_link:n_link + npv]
+        y_new = y[n_link + npv:]
+        for a in range(npv):
+            if y_end[a]:
+                is_end[pi[a]] = True
+            else:
+                match_prev[pi[a]] = ci[np.argmax(y_link[a])]
+        for b in range(ncv):
+            if y_new[b]:
+                is_new[ci[b]] = True
+
+    match_curr = np.full(N, -1, np.int32)
+    for i in range(N):
+        if match_prev[i] >= 0:
+            match_curr[match_prev[i]] = i
+    import jax.numpy as jnp
+    return Decisions(match_prev=jnp.asarray(match_prev),
+                     match_curr=jnp.asarray(match_curr),
+                     is_end=jnp.asarray(is_end),
+                     is_new=jnp.asarray(is_new))

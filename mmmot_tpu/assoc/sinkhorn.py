@@ -1,0 +1,53 @@
+"""Entropic Sinkhorn-LP association — the fast approximate in-graph solver.
+
+Solves the assignment reduction as entropy-regularised optimal transport with
+unit marginals (log-domain Sinkhorn), then rounds to a discrete perfect
+matching with the greedy decoder.  At low temperature the transport plan
+concentrates on the optimal matching, so decisions match the exact ILP for
+all but near-tied scores (verified statistically in tests vs the oracle).
+
+This is the throughput-oriented path (BASELINE.json north star: "the
+linear-programming data-association step is replaced by a batched
+min-cost-flow / Sinkhorn-LP solver expressed in JAX"): fixed iteration count,
+pure matmul/LSE ops, batches and scans trivially.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mmmot_tpu.assoc.cost import Decisions, build_assignment_cost, decode_assignment
+from mmmot_tpu.assoc.greedy import greedy_matching
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def sinkhorn_lap(cost: jnp.ndarray, tau: float = 0.05, iters: int = 100):
+    """Log-domain Sinkhorn on score matrix [.., M, M] (maximisation).
+
+    Returns the dual-adjusted log-plan ``(cost + u + v) / tau`` — a soft
+    assignment whose argmax structure approaches the LAP optimum as tau -> 0.
+    """
+    f = jnp.zeros(cost.shape[:-1], cost.dtype)
+
+    def body(_, fg):
+        f, g = fg
+        # Row update: f_i = -tau * LSE_j((C_ij + g_j) / tau)
+        f = -tau * jax.scipy.special.logsumexp(
+            (cost + g[..., None, :]) / tau, axis=-1)
+        g = -tau * jax.scipy.special.logsumexp(
+            (cost + f[..., :, None]) / tau, axis=-2)
+        return f, g
+
+    f, g = jax.lax.fori_loop(0, iters, body, (f, jnp.zeros_like(f)))
+    return (cost + f[..., :, None] + g[..., None, :]) / tau
+
+
+def solve_sinkhorn(link, new, end, mask_prev, mask_curr, tau: float = 0.05,
+                   iters: int = 100) -> Decisions:
+    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr)
+    log_plan = sinkhorn_lap(cost, tau=tau, iters=iters)
+    rc = greedy_matching(log_plan)
+    return decode_assignment(rc, mask_prev, mask_curr)

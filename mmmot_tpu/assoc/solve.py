@@ -1,0 +1,41 @@
+"""Solver dispatch: one entry point for all association backends."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from mmmot_tpu.assoc.auction import solve_auction
+from mmmot_tpu.assoc.cost import Decisions
+from mmmot_tpu.assoc.greedy import solve_greedy
+from mmmot_tpu.assoc.ilp_oracle import solve_ilp_oracle, solve_lap_oracle
+from mmmot_tpu.assoc.sinkhorn import solve_sinkhorn
+from mmmot_tpu.config import AssocConfig
+
+AssocResult = Decisions
+
+_SOLVERS = ("auction", "sinkhorn", "greedy", "ilp", "lap")
+
+
+def associate(link, new, end, mask_prev, mask_curr,
+              cfg: Optional[AssocConfig] = None) -> Decisions:
+    """Solve one (batched, for in-graph solvers) association instance.
+
+    ``ilp``/``lap`` are host-side exact oracles (single instance, not
+    jittable); ``auction``/``sinkhorn``/``greedy`` are pure-JAX.
+    """
+    cfg = cfg or AssocConfig()
+    s = cfg.solver
+    if s == "auction":
+        return solve_auction(link, new, end, mask_prev, mask_curr,
+                             eps=cfg.auction_eps,
+                             scaling_steps=cfg.auction_scaling_steps)
+    if s == "sinkhorn":
+        return solve_sinkhorn(link, new, end, mask_prev, mask_curr,
+                              tau=cfg.sinkhorn_tau, iters=cfg.sinkhorn_iters)
+    if s == "greedy":
+        return solve_greedy(link, new, end, mask_prev, mask_curr)
+    if s == "ilp":
+        return solve_ilp_oracle(link, new, end, mask_prev, mask_curr)
+    if s == "lap":
+        return solve_lap_oracle(link, new, end, mask_prev, mask_curr)
+    raise ValueError(f"unknown solver {s!r}; expected one of {_SOLVERS}")
