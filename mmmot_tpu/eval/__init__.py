@@ -1,0 +1,2 @@
+from mmmot_tpu.eval.kitti_devkit import (TrackingEvaluation, TrackingMetrics,
+                                         evaluate_tracking)

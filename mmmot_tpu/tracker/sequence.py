@@ -1,0 +1,72 @@
+"""Whole-sequence tracking via ``lax.scan`` — the streaming TPU pipeline.
+
+Reference behaviour (eval_seq.py: python loop over frames, each with a GPU
+forward + host ILP) becomes a single compiled program per sequence batch
+(BASELINE.json config 5: "all KITTI-val sequences streamed with padded
+detection slots"):
+
+1. feature extraction for ALL frames runs as one batched pass before the
+   scan — the conv/matmul FLOPs hit the MXU at full batch (T*N detections),
+   instead of per-frame dribbles;
+2. the scan body only carries the cheap sequential parts: cross-frame
+   affinity, in-graph association, ID bookkeeping;
+3. multiple sequences batch with ``vmap`` and shard over the device mesh's
+   data axis (see ``mmmot_tpu.parallel``) — embarrassingly parallel.
+
+Padding frames beyond a sequence's true length carry an all-false det mask,
+which naturally produces no detections/IDs and leaves the state unchanged
+except ages; emitted IDs for invalid slots are -1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmmot_tpu.config import AssocConfig
+from mmmot_tpu.tracker.tracker import TrackerState, TrackingModule
+
+
+def track_sequence(module: TrackingModule, crops, points, point_mask,
+                   det_mask) -> Dict[str, jnp.ndarray]:
+    """Track one sequence of ``T`` frames of padded detections.
+
+    crops [T, N, H, W, 3] (or None), points [T, N, P, C] (or None),
+    point_mask [T, N, P], det_mask [T, N].  Returns {"ids": [T, N] int32}.
+    """
+    T, N = det_mask.shape[:2]
+    # One batched feature pass over every (frame, slot): MXU-sized work.
+    feats = module.extract(crops, points, point_mask, det_mask)
+
+    state0 = module.init_state(N)
+    cdtype = feats["fused"].dtype
+    state0 = state0._replace(
+        feats={k: v.astype(cdtype) for k, v in state0.feats.items()})
+
+    def step(state, frame):
+        f, dm = frame
+        state, out = module.step_from_feats(state, f, dm)
+        return state, out["ids"]
+
+    frames = ({k: v for k, v in feats.items()}, det_mask)
+    _, ids = jax.lax.scan(step, state0, frames)
+    return {"ids": ids}
+
+
+def track_sequences_batched(module: TrackingModule, crops, points,
+                            point_mask, det_mask) -> Dict[str, jnp.ndarray]:
+    """Track ``S`` sequences at once: inputs have a leading [S] axis.
+
+    vmap over the sequence axis; shard that axis over the mesh's data axis
+    for multi-chip streaming (mmmot_tpu.parallel.shard_sequences).
+    """
+    def one(c, p, pm, dm):
+        return track_sequence(module, c, p, pm, dm)
+
+    in_axes = (0 if crops is not None else None,
+               0 if points is not None else None,
+               0 if point_mask is not None else None, 0)
+    return jax.vmap(one, in_axes=in_axes)(crops, points, point_mask, det_mask)

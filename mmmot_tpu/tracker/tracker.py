@@ -1,0 +1,136 @@
+"""Online tracker runtime — functional rebuild of the reference
+``TrackingModule`` (reference: tracking_model.py -> TrackingModule.predict:
+run net on frame pair, build + solve the ILP, assign/propagate track IDs).
+
+Differences by design (TPU-first):
+
+* state is an explicit fixed-shape pytree (:class:`TrackerState`) carried
+  through ``lax.scan`` instead of Python object attributes, so whole
+  sequences stream on-device;
+* the per-frame ILP is solved in-graph (``mmmot_tpu.assoc``), no host
+  round-trip;
+* ID assignment is a pure function of the association decisions: linked
+  detections inherit the matched track's ID, new detections take fresh IDs
+  from a carried counter.  Association is strictly adjacent-frame, like the
+  reference (terminated tracks are not revived).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmmot_tpu.assoc import associate
+from mmmot_tpu.assoc.cost import Decisions
+from mmmot_tpu.config import AssocConfig, ModelConfig
+from mmmot_tpu.models.tracking_net import TrackingNet
+
+
+class TrackerState(NamedTuple):
+    """Fixed-capacity track registry carried across frames.
+
+    feats:  per-branch prev-frame detection embeddings, dict of [N, D].
+    mask:   [N] bool — slots holding live detections from the prev frame.
+    ids:    [N] int32 — track ID per slot (-1 for empty slots).
+    ages:   [N] int32 — frames since the track was born.
+    next_id:scalar int32 — next fresh track ID.
+    """
+
+    feats: Dict[str, jnp.ndarray]
+    mask: jnp.ndarray
+    ids: jnp.ndarray
+    ages: jnp.ndarray
+    next_id: jnp.ndarray
+
+
+def init_state(feat_dims: Dict[str, int], num_slots: int,
+               dtype=jnp.float32) -> TrackerState:
+    return TrackerState(
+        feats={k: jnp.zeros((num_slots, d), dtype) for k, d in
+               feat_dims.items()},
+        mask=jnp.zeros((num_slots,), bool),
+        ids=jnp.full((num_slots,), -1, jnp.int32),
+        ages=jnp.zeros((num_slots,), jnp.int32),
+        next_id=jnp.int32(0),
+    )
+
+
+def assign_ids(state: TrackerState, dec: Decisions, det_mask
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IDs for current detections: inherit on link, fresh on new.
+
+    Returns (ids_curr [N] int32, next_id').  Mirrors the reference's
+    ``assign_det_id`` bookkeeping but as a pure function.
+    """
+    linked = dec.match_curr >= 0
+    inherited = jnp.where(linked, state.ids[jnp.maximum(dec.match_curr, 0)],
+                          -1)
+    order = jnp.cumsum(dec.is_new.astype(jnp.int32)) - 1
+    fresh = state.next_id + order
+    ids_curr = jnp.where(dec.is_new, fresh, inherited)
+    ids_curr = jnp.where(det_mask, ids_curr, -1).astype(jnp.int32)
+    next_id = state.next_id + jnp.sum(dec.is_new.astype(jnp.int32))
+    return ids_curr, next_id
+
+
+class TrackingModule:
+    """Per-frame online tracking API mirroring the reference's surface.
+
+    ``predict`` consumes one frame of padded detections and returns their
+    track IDs plus the updated state.  All array work is jit-compatible; wrap
+    calls (or the whole sequence scan) in ``jax.jit``.
+    """
+
+    def __init__(self, net: TrackingNet, variables: Any,
+                 assoc_cfg: Optional[AssocConfig] = None):
+        self.net = net
+        self.variables = variables
+        self.assoc_cfg = assoc_cfg or AssocConfig()
+
+    def extract(self, crops, points, point_mask, det_mask):
+        return self.net.apply(self.variables, crops, points, point_mask,
+                              det_mask, train=False, method=self.net.extract)
+
+    def init_state(self, num_slots: int) -> TrackerState:
+        c = self.net.cfg
+        dims = {"fused": c.fusion.out_dim}
+        if c.fusion.keep_single and c.use_image and c.use_lidar:
+            dims["image"] = c.appearance.out_dim
+            dims["lidar"] = c.point.out_dim
+        return init_state(dims, num_slots)
+
+    def step_from_feats(self, state: TrackerState,
+                        feats: Dict[str, jnp.ndarray], det_mask
+                        ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
+        """Associate pre-extracted current-frame features against the state."""
+        aff = self.net.apply(self.variables, state.feats, feats, state.mask,
+                             det_mask, train=False, method=self.net.affinity)
+        link = aff.link_norm
+        new_s = jax.nn.sigmoid(aff.new)
+        end_s = jax.nn.sigmoid(aff.end)
+        dec = associate(link, new_s, end_s, state.mask, det_mask,
+                        self.assoc_cfg)
+        ids_curr, next_id = assign_ids(state, dec, det_mask)
+
+        matched_prev_age = jnp.where(
+            dec.match_curr >= 0, state.ages[jnp.maximum(dec.match_curr, 0)],
+            0)
+        new_state = TrackerState(
+            feats=feats,
+            mask=det_mask,
+            ids=ids_curr,
+            ages=jnp.where(det_mask, matched_prev_age + 1, 0).astype(
+                jnp.int32),
+            next_id=next_id,
+        )
+        out = {"ids": ids_curr, "decisions": dec,
+               "link": aff.link, "new": aff.new, "end": aff.end}
+        return new_state, out
+
+    def predict(self, state: TrackerState, crops, points, point_mask,
+                det_mask) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
+        """Full per-frame update (reference: TrackingModule.predict)."""
+        feats = self.extract(crops, points, point_mask, det_mask)
+        return self.step_from_feats(state, feats, det_mask)

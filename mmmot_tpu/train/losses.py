@@ -1,0 +1,90 @@
+"""Tracking losses — rebuild of the reference criterion (SURVEY.md §2.12).
+
+The reference trains the joint association decision with cross-entropy: for
+every prev detection, a softmax over {link to each curr det, end}; for every
+curr detection, {linked-from each prev det, new}; plus binary terms on the
+new/end indicators and an optional detection-confidence term.  All terms here
+are masked for padded slots and normalised by true detection counts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmmot_tpu.ops.masking import masked_log_softmax, pair_mask
+
+
+def _prev_ce(link, end, gt_link, gt_end, mask_prev, mask_curr):
+    """CE over each prev det's decision: [link to j..., end]."""
+    logits = jnp.concatenate([link, end[..., :, None]], axis=-1)
+    cand_mask = jnp.concatenate(
+        [pair_mask(mask_prev, mask_curr),
+         mask_prev[..., :, None]], axis=-1)
+    logp = masked_log_softmax(logits, cand_mask, axis=-1)
+    target = jnp.concatenate([gt_link, gt_end[..., :, None]], axis=-1)
+    ce = -jnp.sum(target * jnp.where(cand_mask, logp, 0.0), axis=-1)
+    cnt = jnp.maximum(jnp.sum(mask_prev), 1)
+    return jnp.sum(ce * mask_prev) / cnt
+
+
+def _curr_ce(link, new, gt_link, gt_new, mask_prev, mask_curr):
+    """CE over each curr det's decision: [linked-from i..., new]."""
+    linkT = jnp.swapaxes(link, -1, -2)
+    gt_linkT = jnp.swapaxes(gt_link, -1, -2)
+    logits = jnp.concatenate([linkT, new[..., :, None]], axis=-1)
+    cand_mask = jnp.concatenate(
+        [pair_mask(mask_curr, mask_prev),
+         mask_curr[..., :, None]], axis=-1)
+    logp = masked_log_softmax(logits, cand_mask, axis=-1)
+    target = jnp.concatenate([gt_linkT, gt_new[..., :, None]], axis=-1)
+    ce = -jnp.sum(target * jnp.where(cand_mask, logp, 0.0), axis=-1)
+    cnt = jnp.maximum(jnp.sum(mask_curr), 1)
+    return jnp.sum(ce * mask_curr) / cnt
+
+
+def _masked_bce(logits, targets, mask):
+    loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def tracking_loss(outputs: Dict[str, jnp.ndarray],
+                  batch: Dict[str, jnp.ndarray],
+                  weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + per-term metrics.
+
+    outputs: net forward dict (link [B,T-1,N,N], new/end [B,T-1,N],
+    det [B,T,N]); batch carries gt_link/gt_new/gt_end (same pair shapes),
+    det_mask [B,T,N] and gt_ids [B,T,N] (for the det-confidence target:
+    id >= 0 means a true detection, -1 a false positive).
+    """
+    w_link, w_new, w_end, w_det = weights
+    det_mask = batch["det_mask"]
+    mask_prev = det_mask[:, :-1]
+    mask_curr = det_mask[:, 1:]
+
+    link = outputs["link"]
+    ce_prev = _prev_ce(link, outputs["end"], batch["gt_link"],
+                       batch["gt_end"], mask_prev, mask_curr)
+    ce_curr = _curr_ce(link, outputs["new"], batch["gt_link"],
+                       batch["gt_new"], mask_prev, mask_curr)
+    bce_new = _masked_bce(outputs["new"], batch["gt_new"], mask_curr)
+    bce_end = _masked_bce(outputs["end"], batch["gt_end"], mask_prev)
+
+    metrics = {"ce_prev": ce_prev, "ce_curr": ce_curr,
+               "bce_new": bce_new, "bce_end": bce_end}
+    total = (w_link * (ce_prev + ce_curr)
+             + w_new * bce_new + w_end * bce_end)
+
+    if "det" in outputs and "gt_ids" in batch:
+        det_target = (batch["gt_ids"] >= 0).astype(jnp.float32)
+        bce_det = _masked_bce(outputs["det"], det_target, det_mask)
+        metrics["bce_det"] = bce_det
+        total = total + w_det * bce_det
+
+    metrics["total"] = total
+    return total, metrics

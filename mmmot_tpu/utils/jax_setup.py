@@ -26,9 +26,22 @@ def setup_jax(cache_dir: str | None = None) -> None:
 
 
 def force_cpu(num_devices: int = 1) -> None:
-    """Must run BEFORE importing jax anywhere in the process."""
+    """Force the CPU backend (with a virtual device count).
+
+    Must run BEFORE the JAX backend initialises (i.e. before any
+    computation).  NOTE: on hosts with the ``axon`` TPU plugin, the
+    ``JAX_PLATFORMS`` environment variable alone is IGNORED — only
+    ``jax.config.update("jax_platforms", "cpu")`` reliably wins, so we do
+    both.  ``XLA_FLAGS`` is read at backend init, so setting it here (before
+    the first computation) still applies even if jax is already imported.
+    """
     os.environ["JAX_PLATFORMS"] = "cpu"
     if num_devices > 1:
         flags = os.environ.get("XLA_FLAGS", "")
-        os.environ["XLA_FLAGS"] = (
-            f"{flags} --xla_force_host_platform_device_count={num_devices}")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{num_devices}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
