@@ -1,13 +1,16 @@
 """Benchmark: KITTI-scale tracking throughput on one chip.
 
-Runs the flagship tracking pipeline (VGG16-bn skip-pool appearance +
-PointNet + attention fusion + affinity/new/end heads + in-graph association)
-over batched synthetic KITTI-scale sequences and reports frames/sec/chip.
+Runs the flagship streaming pipeline end-to-end from RAW frames:
+on-device per-detection crop extraction + frustum point sampling (fused XLA
+preprocessing), VGG16-bn skip-pool appearance + PointNet features, attention
+fusion, affinity/new/end heads, and in-graph auction association — the whole
+sequence batch is one compiled program with no host round-trips.
 
-Workload: S sequences x T frames, N padded detection slots per frame with
-KITTI-like valid density, crop HxW, P points/det — all configurable below.
-``vs_baseline`` compares against the reference's ~50 FPS single-GPU online
-tracker (KITTI leaderboard runtime ~0.02 s/frame; BASELINE.md).
+Workload: S sequences x T frames of full camera frames (uint8, KITTI-sized),
+LiDAR clouds of M points, N padded detection slots with KITTI-like valid
+density.  ``vs_baseline`` compares against the reference's ~50 FPS
+single-GPU online tracker (KITTI leaderboard runtime ~0.02 s/frame,
+BASELINE.md).
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,68 +18,81 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
+# Workload shape (KITTI-like).
+S, T, N, P = 2, 32, 32, 256
+H, W, M = 384, 1248, 16384
+CROP = 112
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from mmmot_tpu.configs import flagship
     from mmmot_tpu.config import AssocConfig
+    from mmmot_tpu.configs import flagship
     from mmmot_tpu.models import model_entry
-    from mmmot_tpu.tracker import TrackingModule, track_sequences_batched
+    from mmmot_tpu.tracker import (TrackingModule,
+                                   track_sequences_from_frames_batched)
     from mmmot_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
-
-    # Workload shape (KITTI-like): tune S for chip occupancy.
-    S, T, N, P = 4, 32, 32, 256
-    CROP = 112  # reference crops detections to a fixed patch; bf16 compute
     cfg = flagship(compute_dtype="bfloat16", max_dets=N, crop=CROP,
                    point_len=P)
     net = model_entry(cfg.model)
 
     rng = np.random.default_rng(0)
-    det_counts = rng.integers(3, 17, (S, T))   # KITTI val: ~3-16 cars/frame
-    det_mask = np.arange(N)[None, None, :] < det_counts[..., None]
-    crops = jnp.asarray(
-        rng.normal(0, 1, (S, T, N, CROP, CROP, 3)).astype(np.float32))
-    points = jnp.asarray(
-        rng.normal(0, 1, (S, T, N, P, 4)).astype(np.float32))
-    point_mask = jnp.ones((S, T, N, P), bool)
-    det_mask = jnp.asarray(det_mask)
+    images = jnp.asarray(rng.integers(0, 256, (S, T, H, W, 3)), jnp.uint8)
+    clouds = np.zeros((S, T, M, 4), np.float32)
+    clouds[..., 0] = rng.uniform(-25, 25, (S, T, M))
+    clouds[..., 1] = rng.uniform(-3, 3, (S, T, M))
+    clouds[..., 2] = rng.uniform(2, 70, (S, T, M))
+    clouds[..., 3] = rng.uniform(0, 1, (S, T, M))
+    clouds = jnp.asarray(clouds)
+    proj = jnp.asarray([[720.0, 0, W / 2, 40.0],
+                        [0, 720.0, H / 2, 1.0],
+                        [0, 0, 1, 0.003]], jnp.float32)
 
-    batch = {"crops": np.asarray(crops[:, :2]),
-             "points": np.asarray(points[:, :2]),
-             "point_mask": np.asarray(point_mask[:, :2]),
-             "det_mask": np.asarray(det_mask[:, :2])}
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    det_counts = rng.integers(3, 17, (S, T))   # KITTI val: ~3-16 cars/frame
+    det_mask = jnp.asarray(
+        np.arange(N)[None, None, :] < det_counts[..., None])
+    cx = rng.uniform(100, W - 100, (S, T, N))
+    cy = rng.uniform(100, H - 80, (S, T, N))
+    bw = rng.uniform(40, 160, (S, T, N))
+    bh = rng.uniform(30, 90, (S, T, N))
+    boxes = jnp.asarray(np.stack(
+        [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+        axis=-1).astype(np.float32))
+
+    # Init params on a small dummy batch (shapes of crops/points only).
+    dummy = {
+        "crops": jnp.zeros((1, 2, 2, CROP, CROP, 3), jnp.float32),
+        "points": jnp.zeros((1, 2, 2, P, 4), jnp.float32),
+        "point_mask": jnp.ones((1, 2, 2, P), bool),
+        "det_mask": jnp.ones((1, 2, 2), bool),
+    }
     variables = jax.jit(
         lambda r, b: net.init({"params": r}, b, train=False))(
-        jax.random.PRNGKey(0), batch)
+        jax.random.PRNGKey(0), dummy)
 
-    module = TrackingModule(net, variables, AssocConfig(solver="auction"))
-    f = jax.jit(lambda c, p, pm, dm: track_sequences_batched(
-        module, c, p, pm, dm))
+    module = TrackingModule(net, variables, cfg.assoc)
+    f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
+        module, im, cl, bx, dm, proj, (CROP, CROP), P))
 
-    # Warm-up / compile.
-    out = jax.block_until_ready(f(crops, points, point_mask, det_mask))
+    out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
 
-    # Timed steady-state runs.
     n_runs = 3
     t0 = time.perf_counter()
     for _ in range(n_runs):
-        out = jax.block_until_ready(f(crops, points, point_mask, det_mask))
+        out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
     dt = (time.perf_counter() - t0) / n_runs
 
-    frames = S * T
-    fps = frames / dt
+    fps = (S * T) / dt
     print(json.dumps({
         "metric": "kitti_tracking_fps_per_chip",
         "value": round(fps, 2),

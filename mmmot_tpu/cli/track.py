@@ -1,0 +1,124 @@
+"""Sequence tracking / evaluation CLI — rebuild of the reference
+``eval_seq.py`` (load config + checkpoint, run the tracker over sequences,
+write KITTI result txts, score with the devkit).
+
+Without a real KITTI tree it tracks synthetic sequences, which exercises the
+identical code path end-to-end (model -> scan tracker -> txt -> metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mmmot_tpu sequence tracking")
+    p.add_argument("--config", required=True)
+    p.add_argument("--load-path", default=None, help="checkpoint dir")
+    p.add_argument("--result-path", default="results")
+    p.add_argument("--result-sha", default="latest",
+                   help="result subdirectory tag (reference: result_sha)")
+    p.add_argument("--sequences", type=int, default=3)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--no-eval", action="store_true",
+                   help="skip devkit scoring")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        from mmmot_tpu.utils.jax_setup import force_cpu
+
+        force_cpu()
+    from mmmot_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmot_tpu.config import load_config
+    from mmmot_tpu.data.kitti_io import (tracker_output_to_objects,
+                                         write_kitti_result)
+    from mmmot_tpu.data.synthetic import make_synthetic_sequence
+    from mmmot_tpu.eval import TrackingEvaluation
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+    from mmmot_tpu.train import create_train_state
+    from mmmot_tpu.train.checkpoint import restore_checkpoint
+
+    from mmmot_tpu.utils.meters import create_logger
+
+    log = create_logger("mmmot.track")
+
+    cfg = load_config(args.config)
+    net = model_entry(cfg.model)
+    N, P, crop = cfg.data.max_dets, cfg.data.point_len, cfg.data.crop_size
+
+    key = jax.random.PRNGKey(0)
+    dummy = {
+        "crops": jnp.zeros((1, 2, N) + tuple(crop) + (3,)),
+        "points": jnp.zeros((1, 2, N, P, 4)),
+        "point_mask": jnp.ones((1, 2, N, P), bool),
+        "det_mask": jnp.ones((1, 2, N), bool),
+    }
+    state = create_train_state(net, cfg.train, key, dummy)
+    if args.load_path:
+        state = restore_checkpoint(args.load_path, state)
+        log.info("loaded checkpoint from %s", args.load_path)
+
+    module = TrackingModule(
+        net, {"params": state.params, "batch_stats": state.batch_stats},
+        cfg.assoc)
+    track = jax.jit(
+        lambda c, p, pm, dm: track_sequence(module, c, p, pm, dm))
+
+    res_dir = os.path.join(args.result_path, cfg.name, args.result_sha)
+    ev = TrackingEvaluation(cls="car")
+    total_frames = 0
+    t_total = 0.0
+    for s in range(args.sequences):
+        world = make_synthetic_sequence(
+            np.random.default_rng(2000 + s), num_frames=args.frames,
+            num_slots=N, crop_size=crop, points_per_det=P,
+            drop_prob=0.05, fp_prob=0.1)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(track(
+            jnp.asarray(world.crops), jnp.asarray(world.points),
+            jnp.asarray(world.point_mask), jnp.asarray(world.det_mask)))
+        dt = time.perf_counter() - t0
+        if s > 0:  # skip compile run in FPS accounting
+            t_total += dt
+            total_frames += args.frames
+        ids = np.asarray(out["ids"])
+        res = tracker_output_to_objects(ids, world.det_mask, world.boxes2d,
+                                        world.scores)
+        path = os.path.join(res_dir, f"{s:04d}.txt")
+        write_kitti_result(res, path)
+        log.info("sequence %04d: %d frames in %.3fs -> %s", s, args.frames,
+                 dt, path)
+        if not args.no_eval:
+            gt = tracker_output_to_objects(
+                world.gt_ids, world.det_mask & (world.gt_ids >= 0),
+                world.boxes2d)
+            gtf, resf = {}, {}
+            for o in gt:
+                gtf.setdefault(o.frame, []).append(o)
+            for o in res:
+                resf.setdefault(o.frame, []).append(o)
+            ev.add_sequence(gtf, resf, num_frames=args.frames)
+    if total_frames:
+        log.info("throughput: %.1f FPS (steady-state)",
+                 total_frames / max(t_total, 1e-9))
+    if not args.no_eval:
+        log.info("metrics: %s", ev.compute().summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Real KITTI tracking dataset reader + padded-array packer (host side).
+
+Rebuild of the reference data layer (reference: root dataset classes +
+utils/data_util.py: KITTI label parsing, detection loading, per-det crop /
+point extraction; SURVEY.md §2.14/§2.15/§2.18) with one structural change:
+the packer emits *full frames + boxes + clouds* in fixed-shape padded
+arrays, and all per-detection extraction happens on-device
+(ops/crop_resize.py, ops/frustum.py).
+
+Expected tree (standard KITTI tracking layout):
+
+    root/
+      image_02/<seq>/<frame>.png
+      velodyne/<seq>/<frame>.bin
+      label_02/<seq>.txt          (GT; also usable as oracle detections)
+      calib/<seq>.txt
+      detections/<det_source>/<seq>.txt   (optional, KITTI-format dets)
+
+Detections default to GT boxes ("oracle" mode) when no detection files are
+present, which is also how parity fixtures are produced.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmmot_tpu.config import DataConfig
+from mmmot_tpu.data.calib import Calibration
+from mmmot_tpu.data.kitti_io import KittiObject, read_kitti_tracking_labels
+
+IMG_H, IMG_W = 376, 1248            # pad target (covers all KITTI cams)
+
+
+@dataclass
+class SequenceArrays:
+    """One packed sequence for the raw-frames tracker."""
+
+    images: np.ndarray          # [T, H, W, 3] uint8
+    clouds: np.ndarray          # [T, M, 4] float32 (velodyne frame)
+    cloud_valid: np.ndarray     # [T, M] bool
+    boxes: np.ndarray           # [T, N, 4] float32
+    det_mask: np.ndarray        # [T, N] bool
+    scores: np.ndarray          # [T, N] float32
+    gt_ids: np.ndarray          # [T, N] int32 (-1 when no GT match)
+    proj: np.ndarray            # [3, 4] velodyne -> image projection
+    frame_ids: np.ndarray       # [T] original frame indices
+
+
+class KittiTrackingDataset:
+    """Sequence-level access to a KITTI tracking split."""
+
+    def __init__(self, cfg: DataConfig, max_cloud_points: int = 65536,
+                 class_filter: Tuple[str, ...] = ("Car", "Van")):
+        self.cfg = cfg
+        self.root = cfg.root
+        self.max_cloud_points = max_cloud_points
+        self.class_filter = tuple(c.lower() for c in class_filter)
+        img_root = os.path.join(self.root, "image_02")
+        if not os.path.isdir(img_root):
+            raise FileNotFoundError(f"no KITTI tracking tree at {self.root}")
+        self.sequences = sorted(os.listdir(img_root))
+
+    # ------------------------------------------------------------------
+    def _frames(self, seq: str) -> List[str]:
+        d = os.path.join(self.root, "image_02", seq)
+        return sorted(f for f in os.listdir(d) if f.endswith(".png"))
+
+    def _load_image(self, seq: str, fname: str) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(
+            os.path.join(self.root, "image_02", seq, fname)).convert("RGB"))
+        out = np.zeros((IMG_H, IMG_W, 3), np.uint8)
+        h, w = min(img.shape[0], IMG_H), min(img.shape[1], IMG_W)
+        out[:h, :w] = img[:h, :w]
+        return out
+
+    def _load_cloud(self, seq: str, frame: str) -> np.ndarray:
+        path = os.path.join(self.root, "velodyne", seq,
+                            frame.replace(".png", ".bin"))
+        if not os.path.exists(path):
+            return np.zeros((0, 4), np.float32)
+        return np.fromfile(path, np.float32).reshape(-1, 4)
+
+    def _load_detections(self, seq: str) -> Dict[int, List[KittiObject]]:
+        det_dir = os.path.join(self.root, "detections", self.cfg.det_source)
+        path = os.path.join(det_dir, f"{seq}.txt")
+        if os.path.exists(path):
+            return read_kitti_tracking_labels(path)
+        # Oracle mode: GT boxes as detections.
+        gt_path = os.path.join(self.root, "label_02", f"{seq}.txt")
+        return read_kitti_tracking_labels(gt_path)
+
+    def _load_gt(self, seq: str) -> Dict[int, List[KittiObject]]:
+        path = os.path.join(self.root, "label_02", f"{seq}.txt")
+        if not os.path.exists(path):
+            return {}
+        return read_kitti_tracking_labels(path)
+
+    # ------------------------------------------------------------------
+    def load_sequence(self, seq: str, start: int = 0,
+                      max_frames: Optional[int] = None) -> SequenceArrays:
+        cfg = self.cfg
+        N = cfg.max_dets
+        frames = self._frames(seq)[start:]
+        if max_frames is not None:
+            frames = frames[:max_frames]
+        T = len(frames)
+        M = self.max_cloud_points
+        calib = Calibration.from_file(
+            os.path.join(self.root, "calib", f"{seq}.txt"))
+        dets = self._load_detections(seq)
+        gt = self._load_gt(seq)
+
+        images = np.zeros((T, IMG_H, IMG_W, 3), np.uint8)
+        clouds = np.zeros((T, M, 4), np.float32)
+        cloud_valid = np.zeros((T, M), bool)
+        boxes = np.zeros((T, N, 4), np.float32)
+        det_mask = np.zeros((T, N), bool)
+        scores = np.zeros((T, N), np.float32)
+        gt_ids = np.full((T, N), -1, np.int32)
+        frame_ids = np.zeros((T,), np.int32)
+
+        for t, fname in enumerate(frames):
+            fid = int(fname.split(".")[0])
+            frame_ids[t] = fid
+            images[t] = self._load_image(seq, fname)
+            pc = self._load_cloud(seq, fname)[:M]
+            clouds[t, :len(pc)] = pc
+            cloud_valid[t, :len(pc)] = True
+
+            objs = [o for o in dets.get(fid, [])
+                    if o.obj_type.lower() in self.class_filter
+                    and (o.score is None
+                         or o.score >= cfg.score_threshold)][:N]
+            gt_objs = [o for o in gt.get(fid, [])
+                       if o.obj_type.lower() in self.class_filter]
+            for n, o in enumerate(objs):
+                boxes[t, n] = o.bbox
+                det_mask[t, n] = True
+                scores[t, n] = 1.0 if o.score is None else o.score
+                # GT id by best-IoU match (oracle dets match at IoU 1.0).
+                if gt_objs:
+                    ious = _iou_one(o.bbox, np.stack(
+                        [g.bbox for g in gt_objs]))
+                    j = int(np.argmax(ious))
+                    if ious[j] >= 0.5:
+                        gt_ids[t, n] = gt_objs[j].track_id
+
+        return SequenceArrays(images=images, clouds=clouds,
+                              cloud_valid=cloud_valid, boxes=boxes,
+                              det_mask=det_mask, scores=scores,
+                              gt_ids=gt_ids,
+                              proj=calib.projection_matrix().astype(
+                                  np.float32),
+                              frame_ids=frame_ids)
+
+    # ------------------------------------------------------------------
+    def training_pairs(self, seq: str, rng: np.random.Generator,
+                       num_pairs: int):
+        """Yield adjacent-frame-pair training samples (sample_max_len=2)."""
+        frames = self._frames(seq)
+        if len(frames) < 2:
+            return
+        for _ in range(num_pairs):
+            t0 = int(rng.integers(0, len(frames) - 1))
+            yield self.load_sequence(seq, start=t0, max_frames=2)
+
+
+def _iou_one(box: np.ndarray, others: np.ndarray) -> np.ndarray:
+    lt = np.maximum(box[:2], others[:, :2])
+    rb = np.minimum(box[2:], others[:, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (others[:, 2] - others[:, 0]) * (others[:, 3] - others[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-9)

@@ -1,0 +1,110 @@
+"""On-device frustum point sampling.
+
+Replaces the reference's offline per-detection point extraction (reference:
+point_cloud/ prep scripts — project the cloud into the image, keep points
+whose projection falls inside the detection's 2D box, sample to a fixed
+count) with an in-graph gather: project all M points once, build the
+[N, M] membership mask, and select up to P points per detection with a
+single top_k (BASELINE.json north star: "point-cloud sampling becomes fused
+XLA preprocessing").
+
+Point selection is deterministic: in-box points in ascending index order
+(matching a sequential scan of the cloud), padded with zeros.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def project_points(points_xyz: jnp.ndarray, proj: jnp.ndarray):
+    """Project [M, 3] points with a [3, 4] camera matrix -> (u, v, depth)."""
+    ones = jnp.ones_like(points_xyz[..., :1])
+    hom = jnp.concatenate([points_xyz, ones], axis=-1)          # [M, 4]
+    cam = hom @ proj.T                                          # [M, 3]
+    depth = cam[..., 2]
+    uv = cam[..., :2] / jnp.maximum(depth[..., None], 1e-6)
+    return uv[..., 0], uv[..., 1], depth
+
+
+def frustum_sample(points: jnp.ndarray, boxes: jnp.ndarray,
+                   proj: jnp.ndarray, num_samples: int,
+                   det_mask: Optional[jnp.ndarray] = None,
+                   point_valid: Optional[jnp.ndarray] = None,
+                   center: bool = True):
+    """points [M, C] (xyz + extra channels), boxes [N, 4], proj [3, 4]
+    -> (sampled [N, P, C], sample_mask [N, P]).
+
+    ``point_valid`` masks padded cloud entries.  ``center`` subtracts the
+    per-detection centroid from xyz (the reference's frustum normalisation),
+    keeping extra channels (reflectance) untouched.
+    """
+    M = points.shape[0]
+    N = boxes.shape[0]
+    P = num_samples
+    u, v, depth = project_points(points[:, :3], proj)
+
+    inside = ((u[None, :] >= boxes[:, 0:1]) & (u[None, :] <= boxes[:, 2:3])
+              & (v[None, :] >= boxes[:, 1:2]) & (v[None, :] <= boxes[:, 3:4])
+              & (depth[None, :] > 0.1))                         # [N, M]
+    if point_valid is not None:
+        inside = inside & point_valid[None, :]
+    if det_mask is not None:
+        inside = inside & det_mask[:, None]
+
+    #
+
+    # Deterministic selection: score = inside * (M - index); top_k picks
+    # in-box points in ascending index order.
+    idx_rank = jnp.arange(M, dtype=jnp.int32)
+    score = jnp.where(inside, M - idx_rank[None, :], 0)
+    top_scores, top_idx = jax.lax.top_k(score, P)                # [N, P]
+    sample_mask = top_scores > 0
+    sampled = jnp.take(points, top_idx.reshape(-1), axis=0).reshape(
+        N, P, points.shape[-1])
+    sampled = sampled * sample_mask[..., None].astype(sampled.dtype)
+
+    if center:
+        cnt = jnp.maximum(jnp.sum(sample_mask, axis=-1, keepdims=True), 1)
+        centroid = (jnp.sum(sampled[..., :3]
+                            * sample_mask[..., None], axis=-2, keepdims=True)
+                    / cnt[..., None])
+        xyz = (sampled[..., :3] - centroid) * sample_mask[..., None]
+        sampled = jnp.concatenate([xyz, sampled[..., 3:]], axis=-1)
+    return sampled, sample_mask
+
+
+def frustum_sample_batched(points: jnp.ndarray, boxes: jnp.ndarray,
+                           proj: jnp.ndarray, num_samples: int,
+                           det_mask: Optional[jnp.ndarray] = None,
+                           point_valid: Optional[jnp.ndarray] = None,
+                           center: bool = True):
+    """points [..., M, C], boxes [..., N, 4], proj [3,4] or [..., 3, 4]."""
+    lead = boxes.shape[:-2]
+    M, C = points.shape[-2:]
+    N = boxes.shape[-2]
+    B = int(np_prod(lead))
+    pf = points.reshape((B, M, C))
+    bf = boxes.reshape((B, N, 4))
+    projf = (jnp.broadcast_to(proj, lead + (3, 4)).reshape((B, 3, 4))
+             if proj.ndim >= 2 else proj)
+    dmf = (det_mask.reshape((B, N)) if det_mask is not None
+           else jnp.ones((B, N), bool))
+    pvf = (point_valid.reshape((B, M)) if point_valid is not None
+           else jnp.ones((B, M), bool))
+    fn = jax.vmap(partial(frustum_sample, num_samples=num_samples,
+                          center=center))
+    sampled, mask = fn(pf, bf, projf, det_mask=dmf, point_valid=pvf)
+    return (sampled.reshape(lead + (N, num_samples, C)),
+            mask.reshape(lead + (N, num_samples)))
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out

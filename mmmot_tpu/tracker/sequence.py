@@ -56,6 +56,35 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     return {"ids": ids}
 
 
+def track_sequence_from_frames(module: TrackingModule, images, clouds,
+                               boxes, det_mask, proj,
+                               crop_size: Tuple[int, int],
+                               points_per_det: int,
+                               cloud_valid=None) -> Dict[str, jnp.ndarray]:
+    """Track one sequence from RAW frames — full on-device preprocessing.
+
+    images [T, H, W, 3] (uint8 or float pixels), clouds [T, M, C] LiDAR
+    points, boxes [T, N, 4] detection boxes (pixels), proj [3, 4] camera
+    projection.  Per-detection crops and frustum point samples are computed
+    in-graph (ops/crop_resize.py, ops/frustum.py) — the reference does this
+    on the host per detection (utils/data_util.py, point_cloud/), which is
+    exactly the host round-trip the TPU pipeline eliminates.
+    """
+    from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           normalize_crops)
+    from mmmot_tpu.ops.frustum import frustum_sample_batched
+
+    crops = crop_and_resize_batched(
+        images.astype(jnp.float32), boxes, crop_size, det_mask,
+        method="mxu")
+    scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+    crops = normalize_crops(crops, scale=scale)
+    points, point_mask = frustum_sample_batched(
+        clouds, boxes, proj, points_per_det, det_mask=det_mask,
+        point_valid=cloud_valid)
+    return track_sequence(module, crops, points, point_mask, det_mask)
+
+
 def track_sequences_batched(module: TrackingModule, crops, points,
                             point_mask, det_mask) -> Dict[str, jnp.ndarray]:
     """Track ``S`` sequences at once: inputs have a leading [S] axis.
@@ -70,3 +99,20 @@ def track_sequences_batched(module: TrackingModule, crops, points,
                0 if points is not None else None,
                0 if point_mask is not None else None, 0)
     return jax.vmap(one, in_axes=in_axes)(crops, points, point_mask, det_mask)
+
+
+def track_sequences_from_frames_batched(module: TrackingModule, images,
+                                        clouds, boxes, det_mask, proj,
+                                        crop_size: Tuple[int, int],
+                                        points_per_det: int
+                                        ) -> Dict[str, jnp.ndarray]:
+    """Batched raw-frame tracking: leading [S] sequence axis on all inputs.
+
+    This is the flagship streaming pipeline (BASELINE.json config 5): shard
+    the S axis over the mesh's data axis for multi-chip scaling.
+    """
+    def one(im, cl, bx, dm):
+        return track_sequence_from_frames(
+            module, im, cl, bx, dm, proj, crop_size, points_per_det)
+
+    return jax.vmap(one)(images, clouds, boxes, det_mask)

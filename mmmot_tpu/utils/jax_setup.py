@@ -15,14 +15,33 @@ from __future__ import annotations
 
 import os
 
+# Must be set before XLA's C++ logging initialises (first jax import wins).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 
 def setup_jax(cache_dir: str | None = None) -> None:
+    # Silence XLA C++ AOT-loader warnings (cache entries record machine
+    # features of the writing process; reloads fall back safely but log
+    # pages of noise).
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import jax
 
-    cache_dir = cache_dir or os.path.expanduser("~/.cache/jax_comp")
+    if cache_dir is None:
+        # Per-platform cache: entries written under the TPU-tunnel process
+        # carry different host-feature stamps than pure-CPU processes and
+        # cross-loading only produces warnings + recompiles.
+        backend = jax.default_backend()
+        cache_dir = os.path.expanduser(f"~/.cache/jax_comp_{backend}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        # Keep the jit-executable cache but skip the XLA AOT sub-caches,
+        # whose machine-feature stamps mismatch across the axon-tunnel and
+        # pure-CPU processes on this host (pages of loader warnings).
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
 
 
 def force_cpu(num_devices: int = 1) -> None:

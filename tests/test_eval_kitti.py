@@ -1,0 +1,101 @@
+"""Devkit metrics port: hand-crafted scenarios with known answers."""
+
+import numpy as np
+import pytest
+
+from mmmot_tpu.data.kitti_io import (KittiObject, read_kitti_tracking_labels,
+                                     write_kitti_result)
+from mmmot_tpu.eval import TrackingEvaluation
+
+B1 = [100, 100, 200, 200]
+B2 = [300, 100, 400, 200]
+FAR = [600, 300, 700, 380]
+
+
+def obj(frame, tid, box, typ="Car", trunc=0.0):
+    return KittiObject(frame=frame, track_id=tid, obj_type=typ,
+                       truncated=trunc, bbox=np.array(box, float))
+
+
+def test_perfect_tracking():
+    gt = {f: [obj(f, 1, B1), obj(f, 2, B2)] for f in range(5)}
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, gt, num_frames=5)
+    m = ev.compute()
+    assert m.mota == 1.0 and m.motp == 1.0 and m.id_switches == 0
+    assert m.mt == 1.0 and m.fn == 0 and m.fp == 0
+
+
+def test_ids_frag_mota():
+    gt = {}
+    for f in range(6):
+        gt.setdefault(f, []).append(obj(f, 1, B1))
+    for f in range(3):
+        gt[f].append(obj(f, 2, B2))
+    trk = {}
+    for f in range(3):
+        trk.setdefault(f, []).append(obj(f, 7, B1))
+    for f in range(4, 6):
+        trk.setdefault(f, []).append(obj(f, 8, B1))
+    for f in range(3):
+        trk[f].append(obj(f, 9, B2))
+    trk.setdefault(5, []).append(obj(5, 99, FAR))
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk, num_frames=6)
+    m = ev.compute()
+    assert (m.tp, m.fn, m.fp) == (8, 1, 1)
+    assert m.id_switches == 1 and m.fragments == 1
+    assert m.mota == pytest.approx(1 - 3 / 9)
+    assert m.mt == 1.0
+
+
+def test_van_ignored_for_car():
+    ev = TrackingEvaluation(cls="car")
+    ev.add_sequence({0: [obj(0, 1, B1, "Van")]}, {0: [obj(0, 5, B1)]},
+                    num_frames=1)
+    m = ev.compute()
+    assert (m.tp, m.fp, m.fn) == (0, 0, 0)
+
+
+def test_dontcare_absorbs():
+    ev = TrackingEvaluation(cls="car")
+    ev.add_sequence({0: [obj(0, 1, [95, 95, 210, 210], "DontCare")]},
+                    {0: [obj(0, 5, B1)]}, num_frames=1)
+    assert ev.compute().fp == 0
+
+
+def test_truncated_gt_ignored():
+    ev = TrackingEvaluation(cls="car")
+    ev.add_sequence({0: [obj(0, 1, B1, trunc=0.9)]}, {}, num_frames=1)
+    assert ev.compute().fn == 0
+
+
+def test_ml_classification():
+    gt = {f: [obj(f, 1, B1)] for f in range(10)}
+    trk = {0: [obj(0, 5, B1)]}   # 10% coverage -> ML
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk, num_frames=10)
+    m = ev.compute()
+    assert m.ml == 1.0 and m.mt == 0.0
+
+
+def test_kitti_io_roundtrip(tmp_path):
+    objs = [obj(0, 1, B1), obj(1, 1, [10.5, 20.25, 99.125, 150.0625]),
+            obj(1, 2, B2)]
+    objs[0].score = 0.875
+    p = str(tmp_path / "0001.txt")
+    write_kitti_result(objs, p)
+    frames = read_kitti_tracking_labels(p)
+    assert set(frames) == {0, 1}
+    assert frames[0][0].score == 0.875
+    np.testing.assert_allclose(frames[1][0].bbox,
+                               [10.5, 20.25, 99.125, 150.0625])
+    # 17 fields without score, 18 with
+    lines = open(p).read().strip().split("\n")
+    assert len(lines[0].split()) == 18
+    assert len(lines[1].split()) == 17
+
+
+def test_malformed_line_rejected():
+    with pytest.raises(ValueError, match="malformed"):
+        KittiObject.from_line("1 2 Car 0 0")

@@ -1,0 +1,116 @@
+"""Real-data path: calibration math + dataset packer on a fabricated tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmmot_tpu.config import DataConfig
+from mmmot_tpu.data.calib import Calibration
+from mmmot_tpu.data.kitti_dataset import (IMG_H, IMG_W,
+                                          KittiTrackingDataset)
+from mmmot_tpu.data.kitti_io import KittiObject, write_kitti_result
+
+P2 = np.array([[721.5, 0.0, 609.5, 44.9],
+               [0.0, 721.5, 172.8, 0.2],
+               [0.0, 0.0, 1.0, 0.003]])
+R0 = np.eye(3)
+V2C = np.array([[0.0, -1.0, 0.0, 0.0],
+                [0.0, 0.0, -1.0, -0.08],
+                [1.0, 0.0, 0.0, -0.27]])
+
+
+def _write_calib(path):
+    with open(path, "w") as f:
+        f.write("P0: " + " ".join(["0"] * 12) + "\n")
+        f.write("P2: " + " ".join(str(x) for x in P2.ravel()) + "\n")
+        f.write("R_rect " + " ".join(str(x) for x in R0.ravel()) + "\n")
+        f.write("Tr_velo_cam " + " ".join(str(x) for x in V2C.ravel()) + "\n")
+
+
+def test_calibration_math(tmp_path):
+    p = str(tmp_path / "calib.txt")
+    _write_calib(p)
+    calib = Calibration.from_file(p)
+    # A velodyne point straight ahead (x forward) maps near the image centre.
+    pts = np.array([[20.0, 0.0, -1.0]])
+    rect = calib.velo_to_rect(pts)
+    assert rect[0, 2] > 0                      # depth positive
+    uv = calib.velo_to_image(pts)
+    assert 0 < uv[0, 0] < IMG_W and 0 < uv[0, 1] < IMG_H
+    # Composed matrix equals the two-step path.
+    proj = calib.projection_matrix()
+    hom = np.concatenate([pts, [[1.0]]], axis=1)
+    uvw = hom @ proj.T
+    np.testing.assert_allclose(uvw[:, :2] / uvw[:, 2:3], uv, rtol=1e-6)
+
+
+@pytest.fixture
+def kitti_tree(tmp_path):
+    from PIL import Image
+
+    root = str(tmp_path / "kitti")
+    seq = "0000"
+    for sub in ("image_02/0000", "velodyne/0000", "label_02", "calib"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(0)
+    T = 3
+    for t in range(T):
+        img = rng.integers(0, 255, (375, 1242, 3)).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, f"image_02/{seq}/{t:06d}.png"))
+        pc = np.zeros((100, 4), np.float32)
+        pc[:, 0] = rng.uniform(5, 40, 100)       # x forward
+        pc[:, 1] = rng.uniform(-10, 10, 100)
+        pc[:, 2] = rng.uniform(-2, 1, 100)
+        pc[:, 3] = rng.uniform(0, 1, 100)
+        pc.tofile(os.path.join(root, f"velodyne/{seq}/{t:06d}.bin"))
+    objs = []
+    for t in range(T):
+        objs.append(KittiObject(frame=t, track_id=1, obj_type="Car",
+                                bbox=np.array([100, 150, 220, 230.0])))
+        if t > 0:
+            objs.append(KittiObject(frame=t, track_id=2, obj_type="Car",
+                                    bbox=np.array([400, 160, 520, 240.0])))
+        objs.append(KittiObject(frame=t, track_id=3,
+                                obj_type="Pedestrian",
+                                bbox=np.array([600, 100, 630, 180.0])))
+    write_kitti_result(objs, os.path.join(root, "label_02", f"{seq}.txt"))
+    _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
+    return root
+
+
+def test_packer_oracle_mode(kitti_tree):
+    cfg = DataConfig(root=kitti_tree, max_dets=8)
+    ds = KittiTrackingDataset(cfg, max_cloud_points=256)
+    assert ds.sequences == ["0000"]
+    arrs = ds.load_sequence("0000")
+    assert arrs.images.shape == (3, IMG_H, IMG_W, 3)
+    assert arrs.clouds.shape == (3, 256, 4)
+    # Frame 0 has 1 Car (pedestrian filtered), frames 1-2 have 2.
+    assert arrs.det_mask.sum(axis=1).tolist() == [1, 2, 2]
+    assert arrs.gt_ids[0, 0] == 1
+    assert set(arrs.gt_ids[1, :2].tolist()) == {1, 2}
+    assert arrs.cloud_valid[0].sum() == 100
+    # Projection maps forward points into the image.
+    from mmmot_tpu.data.calib import Calibration
+
+    pc = arrs.clouds[0][arrs.cloud_valid[0]]
+    hom = np.concatenate([pc[:, :3], np.ones((len(pc), 1))], 1)
+    uvw = hom @ arrs.proj.T
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    assert ((uv[:, 0] > -2000) & (uv[:, 0] < 4000)).all()
+
+
+def test_training_pairs(kitti_tree):
+    cfg = DataConfig(root=kitti_tree, max_dets=8)
+    ds = KittiTrackingDataset(cfg, max_cloud_points=128)
+    pairs = list(ds.training_pairs("0000", np.random.default_rng(0), 2))
+    assert len(pairs) == 2
+    for p in pairs:
+        assert p.images.shape[0] == 2
+
+
+def test_missing_tree_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        KittiTrackingDataset(DataConfig(root=str(tmp_path / "nope")))

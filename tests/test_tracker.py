@@ -1,0 +1,110 @@
+"""Tracker runtime: ID bookkeeping, scan streaming, empty frames."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmmot_tpu.assoc import associate
+from mmmot_tpu.config import AssocConfig
+from mmmot_tpu.tracker.tracker import TrackerState, assign_ids
+
+N = 5
+
+
+@pytest.fixture(scope="module")
+def run_fn():
+    @jax.jit
+    def run(state, link, new, end, mask_curr):
+        dec = associate(link, new, end, state.mask, mask_curr,
+                        AssocConfig(solver="auction"))
+        ids_curr, next_id = assign_ids(state, dec, mask_curr)
+        return dec, ids_curr, next_id
+
+    return run
+
+
+def _state(mask, ids, next_id):
+    return TrackerState(feats={}, mask=jnp.asarray(mask),
+                        ids=jnp.asarray(ids, jnp.int32),
+                        ages=jnp.zeros(N, jnp.int32),
+                        next_id=jnp.int32(next_id))
+
+
+def test_id_inheritance(run_fn):
+    state = _state([True] * 3 + [False] * 2, [10, 11, 12, -1, -1], 13)
+    link = jnp.full((N, N), -5.0).at[2, 0].set(5.0).at[0, 1].set(5.0)
+    new = jnp.full((N,), 0.5)
+    end = jnp.full((N,), 0.5)
+    mask_curr = jnp.array([True] * 4 + [False])
+    dec, ids_curr, next_id = run_fn(state, link, new, end, mask_curr)
+    np.testing.assert_array_equal(np.asarray(dec.match_curr),
+                                  [2, 0, -1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(ids_curr), [12, 10, 13, 14, -1])
+    assert int(next_id) == 15
+    assert bool(dec.is_end[1])
+
+
+def test_first_frame_all_new(run_fn):
+    state = _state([False] * N, [-1] * N, 0)
+    link = jnp.zeros((N, N))
+    mask_curr = jnp.array([True, True, True, False, False])
+    dec, ids_curr, next_id = run_fn(state, link, jnp.full((N,), 0.5),
+                                    jnp.full((N,), 0.5), mask_curr)
+    np.testing.assert_array_equal(np.asarray(ids_curr), [0, 1, 2, -1, -1])
+    assert int(next_id) == 3
+
+
+def test_empty_current_frame(run_fn):
+    state = _state([True] * 2 + [False] * 3, [7, 8, -1, -1, -1], 9)
+    dec, ids_curr, next_id = run_fn(state, jnp.zeros((N, N)),
+                                    jnp.full((N,), 0.5),
+                                    jnp.full((N,), 0.5),
+                                    jnp.zeros(N, bool))
+    assert (np.asarray(ids_curr) == -1).all()
+    assert bool(dec.is_end[0]) and bool(dec.is_end[1])
+    assert int(next_id) == 9
+
+
+def test_sequence_scan_consistency():
+    """Scan tracker over controlled features: persistent objects keep IDs.
+
+    Uses a stub 'net' via direct state manipulation — link scores derive
+    from feature dot products, so identical features across frames chain.
+    """
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="C", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    T, Ns, P = 4, 6, 8
+    key = jax.random.PRNGKey(0)
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        key, batch)
+    module = TrackingModule(net, vars_, AssocConfig(solver="auction"))
+    crops = jnp.tile(jax.random.normal(key, (1, Ns, 32, 32, 3)), (T, 1, 1, 1, 1))
+    points = jnp.tile(jax.random.normal(key, (1, Ns, P, 4)), (T, 1, 1, 1))
+    det_mask = jnp.zeros((T, Ns), bool).at[:, :3].set(True)
+    out = jax.jit(lambda c, p, pm, dm: track_sequence(
+        module, c, p, pm, dm))(crops, points,
+                               jnp.ones((T, Ns, P), bool), det_mask)
+    ids = np.asarray(out["ids"])
+    assert ids.shape == (T, Ns)
+    # Valid slots have ids, padded slots are -1.
+    assert (ids[:, 3:] == -1).all()
+    assert (ids[:, :3] >= 0).all()
