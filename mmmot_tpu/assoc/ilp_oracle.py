@@ -37,6 +37,29 @@ def solve_lap_oracle(link, new, end, mask_prev, mask_curr) -> Decisions:
                              jnp.asarray(mask_curr))
 
 
+def solve_native_oracle(link, new, end, mask_prev, mask_curr) -> Decisions:
+    """Exact: the framework's C++ Hungarian solver (mmmot_tpu/native).
+
+    Same reduction as :func:`solve_lap_oracle`; the native solver is the
+    fast host path (and supports batches).  Raises if the native library
+    cannot be built.
+    """
+    from mmmot_tpu import native
+
+    cost = np.asarray(build_assignment_cost(link, new, end, mask_prev,
+                                            mask_curr))
+    import jax.numpy as jnp
+    if cost.ndim == 2:
+        rc, _ = native.lap_solve(cost, maximize=True)
+        return decode_assignment(jnp.asarray(rc), jnp.asarray(mask_prev),
+                                 jnp.asarray(mask_curr))
+    lead = cost.shape[:-2]
+    rc, _ = native.lap_solve(cost.reshape((-1,) + cost.shape[-2:]),
+                             maximize=True)
+    return decode_assignment(jnp.asarray(rc.reshape(lead + rc.shape[-1:])),
+                             jnp.asarray(mask_prev), jnp.asarray(mask_curr))
+
+
 def solve_ilp_oracle(link, new, end, mask_prev, mask_curr) -> Decisions:
     """Exact: the reference-shaped binary ILP via scipy.optimize.milp.
 

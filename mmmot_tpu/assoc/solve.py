@@ -7,13 +7,14 @@ from typing import Optional
 from mmmot_tpu.assoc.auction import solve_auction
 from mmmot_tpu.assoc.cost import Decisions
 from mmmot_tpu.assoc.greedy import solve_greedy
-from mmmot_tpu.assoc.ilp_oracle import solve_ilp_oracle, solve_lap_oracle
+from mmmot_tpu.assoc.ilp_oracle import (solve_ilp_oracle, solve_lap_oracle,
+                                        solve_native_oracle)
 from mmmot_tpu.assoc.sinkhorn import solve_sinkhorn
 from mmmot_tpu.config import AssocConfig
 
 AssocResult = Decisions
 
-_SOLVERS = ("auction", "sinkhorn", "greedy", "ilp", "lap")
+_SOLVERS = ("auction", "sinkhorn", "greedy", "ilp", "lap", "native")
 
 
 def associate(link, new, end, mask_prev, mask_curr,
@@ -38,4 +39,6 @@ def associate(link, new, end, mask_prev, mask_curr,
         return solve_ilp_oracle(link, new, end, mask_prev, mask_curr)
     if s == "lap":
         return solve_lap_oracle(link, new, end, mask_prev, mask_curr)
+    if s == "native":
+        return solve_native_oracle(link, new, end, mask_prev, mask_curr)
     raise ValueError(f"unknown solver {s!r}; expected one of {_SOLVERS}")
