@@ -25,9 +25,10 @@ import numpy as np
 BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
 # Workload shape (KITTI-like).
-S, T, N, P = 2, 32, 32, 256
+S, T, N, P = 4, 32, 32, 256
 H, W, M = 384, 1248, 16384
 CROP = 112
+COMPACT = T * 20   # valid-slot compaction capacity (>= max dets/frame * T)
 
 
 def main():
@@ -82,7 +83,8 @@ def main():
 
     module = TrackingModule(net, variables, cfg.assoc)
     f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
-        module, im, cl, bx, dm, proj, (CROP, CROP), P))
+        module, im, cl, bx, dm, proj, (CROP, CROP), P,
+        compact_capacity=COMPACT))
 
     out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
 

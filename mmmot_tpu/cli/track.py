@@ -81,6 +81,11 @@ def main(argv=None):
 
     res_dir = os.path.join(args.result_path, cfg.name, args.result_sha)
     ev = TrackingEvaluation(cls="car")
+
+    if os.path.isdir(cfg.data.root):
+        _track_kitti(args, cfg, module, res_dir, ev, log)
+        return
+
     total_frames = 0
     t_total = 0.0
     for s in range(args.sequences):
@@ -113,6 +118,61 @@ def main(argv=None):
             for o in res:
                 resf.setdefault(o.frame, []).append(o)
             ev.add_sequence(gtf, resf, num_frames=args.frames)
+    if total_frames:
+        log.info("throughput: %.1f FPS (steady-state)",
+                 total_frames / max(t_total, 1e-9))
+    if not args.no_eval:
+        log.info("metrics: %s", ev.compute().summary())
+
+
+def _track_kitti(args, cfg, module, res_dir, ev, log):
+    """Real-data path: stream KITTI sequences end-to-end (eval_seq.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmot_tpu.data.kitti_io import (KittiObject,
+                                         read_kitti_tracking_labels,
+                                         write_kitti_result)
+    from mmmot_tpu.data.kitti_loader import load_eval_sequences
+    from mmmot_tpu.tracker import track_sequence_from_frames
+
+    crop = tuple(cfg.data.crop_size)
+    P = cfg.data.point_len
+    total_frames, t_total = 0, 0.0
+    for i, (seq, arrs) in enumerate(load_eval_sequences(cfg.data)):
+        f = jax.jit(lambda im, cl, cv, bx, dm, pr: track_sequence_from_frames(
+            module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv))
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(f(
+            jnp.asarray(arrs.images), jnp.asarray(arrs.clouds),
+            jnp.asarray(arrs.cloud_valid), jnp.asarray(arrs.boxes),
+            jnp.asarray(arrs.det_mask), jnp.asarray(arrs.proj)))
+        dt = time.perf_counter() - t0
+        T = arrs.det_mask.shape[0]
+        if i > 0:
+            total_frames += T
+            t_total += dt
+        ids = np.asarray(out["ids"])
+        objs = []
+        for t in range(T):
+            for n in range(arrs.det_mask.shape[1]):
+                if not arrs.det_mask[t, n] or ids[t, n] < 0:
+                    continue
+                objs.append(KittiObject(
+                    frame=int(arrs.frame_ids[t]), track_id=int(ids[t, n]),
+                    obj_type="Car", bbox=arrs.boxes[t, n],
+                    score=float(arrs.scores[t, n])))
+        path = os.path.join(res_dir, f"{seq}.txt")
+        write_kitti_result(objs, path)
+        log.info("sequence %s: %d frames in %.2fs -> %s", seq, T, dt, path)
+        if not args.no_eval:
+            gt_path = os.path.join(cfg.data.root, "label_02", f"{seq}.txt")
+            if os.path.exists(gt_path):
+                ev.add_sequence(read_kitti_tracking_labels(gt_path),
+                                read_kitti_tracking_labels(path))
     if total_frames:
         log.info("throughput: %.1f FPS (steady-state)",
                  total_frames / max(t_total, 1e-9))

@@ -77,17 +77,23 @@ def main(argv=None):
     crop = cfg.data.crop_size
 
     use_synthetic = args.synthetic or not os.path.isdir(cfg.data.root)
-    if not use_synthetic:
-        raise NotImplementedError(
-            "real KITTI training loader lands with data/kitti_dataset.py; "
-            "run with --synthetic for now")
+    if use_synthetic:
+        def next_batch():
+            b = make_training_batch(rng, batch_size=cfg.train.batch_size,
+                                    num_slots=N, crop_size=crop,
+                                    points_per_det=P, drop_prob=0.1,
+                                    fp_prob=0.2)
+            return {k: jnp.asarray(v) for k, v in b.items()}
+    else:
+        from mmmot_tpu.data.kitti_loader import KittiPairLoader
 
-    def next_batch():
-        b = make_training_batch(rng, batch_size=cfg.train.batch_size,
-                                num_slots=N, crop_size=crop,
-                                points_per_det=P, drop_prob=0.1,
-                                fp_prob=0.2)
-        return {k: jnp.asarray(v) for k, v in b.items()}
+        loader = KittiPairLoader(cfg.data, seed=cfg.train.seed)
+        log.info("real KITTI training: %d sequences at %s",
+                 len(loader.ds.sequences), cfg.data.root)
+        batch_iter = loader.batches(cfg.train.batch_size)
+
+        def next_batch():
+            return next(batch_iter)
 
     batch0 = next_batch()
     state = create_train_state(net, cfg.train, key, batch0,
@@ -102,9 +108,18 @@ def main(argv=None):
         state = restore_checkpoint(args.load_path, state)
         log.info("loaded weights from %s", args.load_path)
 
-    step_fn = jax.jit(
-        lambda s, b, r: train_step(net, s, b, r,
-                                   loss_weights=cfg.train.loss_weights))
+    from mmmot_tpu.data.augment import augment_batch
+
+    def _step(s, b, r):
+        if cfg.data.augmentation:
+            ra, rd = jax.random.split(r)
+            b = augment_batch(ra, b)
+        else:
+            rd = r
+        return train_step(net, s, b, rd,
+                          loss_weights=cfg.train.loss_weights)
+
+    step_fn = jax.jit(_step)
 
     def validate(state, tag):
         module = TrackingModule(

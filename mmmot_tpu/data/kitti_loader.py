@@ -1,0 +1,94 @@
+"""Batch loaders bridging the host KITTI packer and the jitted pipelines.
+
+Host side reads frames/clouds/boxes (kitti_dataset.py); crops and frustum
+samples are produced **on device** by a jitted preprocessing function —
+mirroring the streaming tracker's path, so training sees bit-identical
+features to inference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from mmmot_tpu.config import DataConfig
+from mmmot_tpu.data.kitti_dataset import KittiTrackingDataset, SequenceArrays
+from mmmot_tpu.data.synthetic import association_labels
+
+
+class KittiPairLoader:
+    """Adjacent-frame-pair training batches from a KITTI tracking tree."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 0,
+                 max_cloud_points: int = 32768):
+        self.cfg = cfg
+        self.ds = KittiTrackingDataset(cfg, max_cloud_points=max_cloud_points)
+        self.rng = np.random.default_rng(seed)
+        self._prep = None
+
+    def _preprocess(self, arrs: SequenceArrays):
+        import jax
+        import jax.numpy as jnp
+
+        from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                               normalize_crops)
+        from mmmot_tpu.ops.frustum import frustum_sample_batched
+
+        if self._prep is None:
+            crop = tuple(self.cfg.crop_size)
+            P = self.cfg.point_len
+
+            def prep(images, clouds, cloud_valid, boxes, det_mask, proj):
+                crops = crop_and_resize_batched(
+                    images.astype(jnp.float32), boxes, crop, det_mask,
+                    method="mxu")
+                crops = normalize_crops(crops, scale=1.0 / 255.0)
+                pts, pmask = frustum_sample_batched(
+                    clouds, boxes, proj, P, det_mask=det_mask,
+                    point_valid=cloud_valid)
+                return crops, pts, pmask
+
+            self._prep = jax.jit(prep)
+        return self._prep(arrs.images, arrs.clouds, arrs.cloud_valid,
+                          arrs.boxes, arrs.det_mask, arrs.proj)
+
+    def batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite iterator over [B, 2, ...] training batches."""
+        import jax.numpy as jnp
+
+        seqs = self.ds.sequences
+        while True:
+            samples = []
+            for _ in range(batch_size):
+                seq = seqs[int(self.rng.integers(len(seqs)))]
+                pair = next(iter(
+                    self.ds.training_pairs(seq, self.rng, 1)), None)
+                if pair is None:
+                    continue
+                crops, pts, pmask = self._preprocess(pair)
+                lab = association_labels(pair.gt_ids[0], pair.gt_ids[1],
+                                         pair.det_mask[0], pair.det_mask[1])
+                samples.append({
+                    "crops": np.asarray(crops),
+                    "points": np.asarray(pts),
+                    "point_mask": np.asarray(pmask),
+                    "det_mask": pair.det_mask,
+                    "gt_ids": pair.gt_ids,
+                    "gt_link": lab["link"][None],
+                    "gt_new": lab["new"][None],
+                    "gt_end": lab["end"][None],
+                })
+            if not samples:
+                raise RuntimeError("no usable training pairs found")
+            batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                     for k in samples[0]}
+            yield batch
+
+
+def load_eval_sequences(cfg: DataConfig, max_frames: Optional[int] = None,
+                        max_cloud_points: int = 32768
+                        ) -> Iterator[Tuple[str, SequenceArrays]]:
+    ds = KittiTrackingDataset(cfg, max_cloud_points=max_cloud_points)
+    for seq in ds.sequences:
+        yield seq, ds.load_sequence(seq, max_frames=max_frames)

@@ -52,6 +52,15 @@ def _dtype(name: str):
             "float16": jnp.float16}[name]
 
 
+def score_branches(cfg: ModelConfig):
+    """Feature branches that carry their own affinity scorer."""
+    branches = ["fused"]
+    if cfg.score_fusion != "fused-only" and cfg.fusion.keep_single \
+            and cfg.use_image and cfg.use_lidar:
+        branches += ["image", "lidar"]
+    return tuple(branches)
+
+
 class TrackingNet(nn.Module):
     cfg: ModelConfig
 
@@ -65,11 +74,7 @@ class TrackingNet(nn.Module):
             self.point_net = PointNet(cfg=c.point, dtype=dt, param_dtype=pt)
         self.fusion = FusionModule(cfg=c.fusion, dtype=dt, param_dtype=pt)
 
-        branches = ["fused"]
-        if c.score_fusion != "fused-only" and c.fusion.keep_single \
-                and c.use_image and c.use_lidar:
-            branches += ["image", "lidar"]
-        self.score_branches = tuple(branches)
+        self.score_branches = score_branches(c)
         self.affinity_mods = {
             b: AffinityModule(cfg=c.affinity, dtype=dt, param_dtype=pt,
                               name=f"affinity_{b}")

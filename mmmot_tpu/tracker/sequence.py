@@ -30,16 +30,62 @@ from mmmot_tpu.config import AssocConfig
 from mmmot_tpu.tracker.tracker import TrackerState, TrackingModule
 
 
+def _compact_extract(module: TrackingModule, crops, points, point_mask,
+                     det_mask, capacity: int):
+    """Feature-extract only the valid detection slots.
+
+    Padded slots waste conv FLOPs (KITTI frames average ~10 valid of N
+    padded slots).  This gathers the valid (frame, slot) pairs into a dense
+    batch of static size ``capacity``, runs the extractor once, and
+    scatters embeddings back to [T, N, D].  If more than ``capacity`` slots
+    are valid, the overflow detections are dropped (their det_mask entry is
+    cleared in the returned mask) — size capacity generously.
+    """
+    T, N = det_mask.shape
+    flat = det_mask.reshape(-1)
+    # Stable valid-first ordering.
+    order_score = flat.astype(jnp.int32) * (T * N + 1) - \
+        jax.lax.broadcasted_iota(jnp.int32, (T * N, 1), 0)[:, 0]
+    _, idx = jax.lax.top_k(order_score, capacity)
+    taken = flat[idx]
+
+    c = (crops.reshape((T * N,) + crops.shape[2:])[idx]
+         if crops is not None else None)
+    p = (points.reshape((T * N,) + points.shape[2:])[idx]
+         if points is not None else None)
+    pm = (point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
+          if point_mask is not None else None)
+    feats_c = module.extract(c, p, pm, taken)
+
+    feats = {}
+    for k, v in feats_c.items():
+        v = v * taken[:, None].astype(v.dtype)
+        full = jnp.zeros((T * N, v.shape[-1]), v.dtype).at[idx].set(v)
+        feats[k] = full.reshape(T, N, v.shape[-1])
+    kept = jnp.zeros((T * N,), bool).at[idx].set(taken)
+    return feats, kept.reshape(T, N)
+
+
 def track_sequence(module: TrackingModule, crops, points, point_mask,
-                   det_mask) -> Dict[str, jnp.ndarray]:
+                   det_mask, compact_capacity: int | None = None
+                   ) -> Dict[str, jnp.ndarray]:
     """Track one sequence of ``T`` frames of padded detections.
 
     crops [T, N, H, W, 3] (or None), points [T, N, P, C] (or None),
     point_mask [T, N, P], det_mask [T, N].  Returns {"ids": [T, N] int32}.
+
+    ``compact_capacity``: if set, feature extraction runs only on valid
+    slots via :func:`_compact_extract` (big conv-FLOP saving at KITTI
+    densities); must be >= the max number of valid slots in the sequence.
     """
     T, N = det_mask.shape[:2]
-    # One batched feature pass over every (frame, slot): MXU-sized work.
-    feats = module.extract(crops, points, point_mask, det_mask)
+    if compact_capacity is not None:
+        feats, det_mask = _compact_extract(module, crops, points,
+                                           point_mask, det_mask,
+                                           compact_capacity)
+    else:
+        # One batched feature pass over every (frame, slot).
+        feats = module.extract(crops, points, point_mask, det_mask)
 
     state0 = module.init_state(N)
     cdtype = feats["fused"].dtype
@@ -60,7 +106,9 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                boxes, det_mask, proj,
                                crop_size: Tuple[int, int],
                                points_per_det: int,
-                               cloud_valid=None) -> Dict[str, jnp.ndarray]:
+                               cloud_valid=None,
+                               compact_capacity: int | None = None
+                               ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
     images [T, H, W, 3] (uint8 or float pixels), clouds [T, M, C] LiDAR
@@ -82,7 +130,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
     points, point_mask = frustum_sample_batched(
         clouds, boxes, proj, points_per_det, det_mask=det_mask,
         point_valid=cloud_valid)
-    return track_sequence(module, crops, points, point_mask, det_mask)
+    return track_sequence(module, crops, points, point_mask, det_mask,
+                          compact_capacity=compact_capacity)
 
 
 def track_sequences_batched(module: TrackingModule, crops, points,
@@ -104,7 +153,8 @@ def track_sequences_batched(module: TrackingModule, crops, points,
 def track_sequences_from_frames_batched(module: TrackingModule, images,
                                         clouds, boxes, det_mask, proj,
                                         crop_size: Tuple[int, int],
-                                        points_per_det: int
+                                        points_per_det: int,
+                                        compact_capacity: int | None = None
                                         ) -> Dict[str, jnp.ndarray]:
     """Batched raw-frame tracking: leading [S] sequence axis on all inputs.
 
@@ -113,6 +163,7 @@ def track_sequences_from_frames_batched(module: TrackingModule, images,
     """
     def one(im, cl, bx, dm):
         return track_sequence_from_frames(
-            module, im, cl, bx, dm, proj, crop_size, points_per_det)
+            module, im, cl, bx, dm, proj, crop_size, points_per_det,
+            compact_capacity=compact_capacity)
 
     return jax.vmap(one)(images, clouds, boxes, det_mask)

@@ -84,10 +84,18 @@ class TrackingModule:
     """
 
     def __init__(self, net: TrackingNet, variables: Any,
-                 assoc_cfg: Optional[AssocConfig] = None):
+                 assoc_cfg: Optional[AssocConfig] = None,
+                 use_pallas_affinity: bool = False):
         self.net = net
         self.variables = variables
         self.assoc_cfg = assoc_cfg or AssocConfig()
+        self.use_pallas_affinity = use_pallas_affinity
+        if use_pallas_affinity:
+            aff = net.cfg.affinity
+            if aff.num_layers != 2 or aff.gnn_rounds != 0:
+                raise ValueError(
+                    "pallas affinity fast path supports num_layers=2, "
+                    "gnn_rounds=0 (the flagship configuration)")
 
     def extract(self, crops, points, point_mask, det_mask):
         return self.net.apply(self.variables, crops, points, point_mask,
@@ -101,12 +109,68 @@ class TrackingModule:
             dims["lidar"] = c.point.out_dim
         return init_state(dims, num_slots)
 
+    def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
+        """Fused-kernel affinity (inference): per-branch Pallas link scores
+        + the XLA new/end heads and normalisation.
+
+        Matches the XLA path's math with eval-mode BN folded into the hidden
+        Dense (kernels/affinity_kernel.py).
+        """
+        from mmmot_tpu.kernels import fold_bn_into_dense, pallas_link_scores
+        from mmmot_tpu.models.affinity import normalize_link
+        from mmmot_tpu.models.tracking_net import AffinityOutput
+        from mmmot_tpu.ops.masking import pair_mask
+
+        from mmmot_tpu.models.tracking_net import score_branches
+
+        params = self.variables["params"]
+        stats = self.variables.get("batch_stats", {})
+        ops = self.net.cfg.affinity.correlation_ops
+        branches = score_branches(self.net.cfg)
+        link = None
+        for branch in branches:
+            if branch not in feats_prev:
+                continue
+            p = params[f"affinity_{branch}"]
+            s = stats[f"affinity_{branch}"]
+            w1, b1 = fold_bn_into_dense(
+                p["head_0"]["kernel"], p["head_0"]["bias"],
+                p["head_bn_0"]["scale"], p["head_bn_0"]["bias"],
+                s["head_bn_0"]["mean"], s["head_bn_0"]["var"])
+            scores = pallas_link_scores(
+                feats_prev[branch].astype(jnp.float32),
+                feats_curr[branch].astype(jnp.float32),
+                w1, b1, p["head_out"]["kernel"], p["head_out"]["bias"],
+                ops=ops)
+            link = scores if link is None else link + scores
+        if self.net.cfg.score_fusion == "avg":
+            link = link / len(branches)
+        pm = pair_mask(mask_prev, mask_curr)
+        link = link * pm.astype(link.dtype)
+
+        def _new_end(net, fp, fc, l, mp, mc):
+            return net.new_end(fp, fc, l, mp, mc, train=False)
+
+        new, end = self.net.apply(
+            self.variables, feats_prev["fused"], feats_curr["fused"],
+            link.astype(feats_prev["fused"].dtype), mask_prev, mask_curr,
+            method=_new_end)
+        link_norm = normalize_link(link, mask_prev, mask_curr,
+                                   self.net.cfg.affinity.softmax_mode)
+        return AffinityOutput(link=link, link_norm=link_norm, new=new,
+                              end=end)
+
     def step_from_feats(self, state: TrackerState,
                         feats: Dict[str, jnp.ndarray], det_mask
                         ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
         """Associate pre-extracted current-frame features against the state."""
-        aff = self.net.apply(self.variables, state.feats, feats, state.mask,
-                             det_mask, train=False, method=self.net.affinity)
+        if self.use_pallas_affinity:
+            aff = self._affinity_pallas(state.feats, feats, state.mask,
+                                        det_mask)
+        else:
+            aff = self.net.apply(self.variables, state.feats, feats,
+                                 state.mask, det_mask, train=False,
+                                 method=self.net.affinity)
         link = aff.link_norm
         new_s = jax.nn.sigmoid(aff.new)
         end_s = jax.nn.sigmoid(aff.end)
