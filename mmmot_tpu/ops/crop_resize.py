@@ -116,6 +116,47 @@ def crop_and_resize_mxu(image: jnp.ndarray, boxes: jnp.ndarray,
     return out
 
 
+def crop_and_resize_mxu_windowed(image: jnp.ndarray, boxes: jnp.ndarray,
+                                 out_size: Tuple[int, int],
+                                 mask: Optional[jnp.ndarray] = None,
+                                 window: int = 512,
+                                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Windowed MXU crop: slice a fixed-width window around each box first.
+
+    The dense x-resize matmul costs H*w*W FLOPs per detection; KITTI frames
+    are ~1248 px wide but boxes are only up to a few hundred.  Slicing a
+    static ``window`` of columns around each box (contiguous
+    ``dynamic_slice`` — fast on TPU, unlike arbitrary gathers) before the
+    separable resize cuts the dominant term by W/window.  Boxes wider than
+    ``window`` fall back to resizing the window's contents (clamped), so
+    pick ``window`` >= the widest expected box.
+    """
+    H, W, C = image.shape
+    h, w = out_size
+    win = min(window, W)
+    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    # Window start: centred on the box, clamped into the frame.
+    cx = 0.5 * (l + r)
+    ws = jnp.clip(jnp.round(cx - win / 2.0), 0.0, float(W - win))
+    ws_i = ws.astype(jnp.int32)
+
+    img = image.astype(compute_dtype)
+    slices = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(img, (0, s, 0), (H, win, C)))(ws_i)
+
+    ry = jax.vmap(lambda lo, hi: _interp_matrix(lo, hi, h, H,
+                                                compute_dtype))(t, b)
+    rx = jax.vmap(lambda lo, hi, s: _interp_matrix(lo - s, hi - s, w, win,
+                                                   compute_dtype))(l, r, ws)
+    tmp = jnp.einsum("nHWc,nwW->nHwc", slices, rx,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nhH,nHwc->nhwc", ry.astype(jnp.float32), tmp,
+                     preferred_element_type=jnp.float32)
+    if mask is not None:
+        out = out * mask[:, None, None, None].astype(out.dtype)
+    return out
+
+
 def crop_and_resize_batched(images: jnp.ndarray, boxes: jnp.ndarray,
                             out_size: Tuple[int, int],
                             mask: Optional[jnp.ndarray] = None,
@@ -123,8 +164,9 @@ def crop_and_resize_batched(images: jnp.ndarray, boxes: jnp.ndarray,
     """images [..., H, W, C], boxes [..., N, 4] -> [..., N, h, w, C].
 
     ``method='mxu'`` (default) uses the matmul formulation — the fast path
-    on TPU; ``'gather'`` uses the element-wise gather path (exact reference,
-    fast on CPU).
+    on TPU; ``'mxu_win'`` additionally slices a window around each box
+    before resizing (fewer FLOPs; window=512); ``'gather'`` uses the
+    element-wise gather path (exact reference, fast on CPU).
     """
     lead = boxes.shape[:-2]
     H, W, C = images.shape[-3:]
@@ -133,7 +175,8 @@ def crop_and_resize_batched(images: jnp.ndarray, boxes: jnp.ndarray,
     box_flat = boxes.reshape((-1, N, 4))
     m_flat = (mask.reshape((-1, N)) if mask is not None
               else jnp.ones((box_flat.shape[0], N), bool))
-    base = crop_and_resize if method == "gather" else crop_and_resize_mxu
+    base = {"gather": crop_and_resize, "mxu": crop_and_resize_mxu,
+            "mxu_win": crop_and_resize_mxu_windowed}[method]
     fn = jax.vmap(partial(base, out_size=out_size))
     out = fn(img_flat, box_flat, mask=m_flat)
     return out.reshape(lead + (N,) + out.shape[-3:])

@@ -69,6 +69,19 @@ def test_crop_batched_shapes(img):
     assert out.shape == (2, 2, 5, 8, 8, 3)
 
 
+def test_mxu_crop_matches_gather(img):
+    boxes = np.array([[10.5, 5.2, 42.7, 30.9], [2, 2, 70, 55]], np.float32)
+    g = np.asarray(jax.jit(lambda i, b: crop_and_resize_batched(
+        i[None], b[None], (16, 16), method="gather"))(
+        jnp.asarray(img), jnp.asarray(boxes)))
+    for method in ("mxu", "mxu_win"):
+        m = np.asarray(jax.jit(lambda i, b, mm=method: crop_and_resize_batched(
+            i[None], b[None], (16, 16), method=mm))(
+            jnp.asarray(img), jnp.asarray(boxes)))
+        # bf16 compute: ~0.5% of range tolerance
+        assert np.abs(m - g).max() < 2.0, method
+
+
 def test_normalize_crops():
     crops = jnp.full((2, 4, 4, 3), 255.0)
     out = np.asarray(normalize_crops(crops))
