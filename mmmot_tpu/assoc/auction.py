@@ -49,45 +49,72 @@ def build_gain_matrix(link, new, end, mask_prev, mask_curr):
     return jnp.where(pair_ok, gain, NEG)
 
 
-def _auction_phase(cost, prices, eps, max_iters):
-    """One epsilon phase: Jacobi auction until all rows assigned or cap."""
+def _auction_all_phases(cost, eps_start, eps_final, scale: float,
+                        max_iters):
+    """All epsilon-scaling phases in ONE while_loop.
+
+    The carry holds the current eps; when a phase converges (all rows
+    assigned) the loop divides eps, resets the assignment and keeps prices
+    (standard warm start).  A single loop instance compiles ~4x faster than
+    unrolled per-phase loops on TPU.
+    """
     M = cost.shape[0]
 
     def cond(state):
-        assign, owner, prices, it = state
-        return jnp.logical_and(jnp.any(assign < 0), it < max_iters)
+        assign, owner, prices, eps, it = state
+        unfinished = jnp.logical_or(jnp.any(assign < 0),
+                                    eps > eps_final * 1.001)
+        return jnp.logical_and(unfinished, it < max_iters)
+
+    def phase_done(state):
+        assign, owner, prices, eps, it = state
+        new_eps = jnp.maximum(eps * scale, eps_final)
+        assign0 = jnp.full((M,), -1, jnp.int32)
+        owner0 = jnp.full((M,), -1, jnp.int32)
+        return assign0, owner0, prices, new_eps, it + 1
 
     def body(state):
-        assign, owner, prices, it = state
+        # NOTE: the body is written scatter-free (dense one-hot/argmax
+        # updates only).  XLA-TPU compile time blows up (~400s) when
+        # scatter-in-loop graphs are fused with large producer networks;
+        # the dense form compiles in seconds and is equivalent.
+        assign, owner, prices, eps, it = state
+        converged = jnp.logical_not(jnp.any(assign < 0))
         active = assign < 0
         v = cost - prices[None, :]                             # [M, M]
         best_j = jnp.argmax(v, axis=1)
         best_v = jnp.max(v, axis=1)
-        v_wo = v.at[jnp.arange(M), best_j].set(_BIG_NEG)
-        second_v = jnp.max(v_wo, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        is_best = cols == best_j[:, None]
+        second_v = jnp.max(jnp.where(is_best, _BIG_NEG, v), axis=1)
         bid = best_v - second_v + eps
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-        bids = jnp.where(active[:, None] & (cols == best_j[:, None]),
-                         bid[:, None], _BIG_NEG)
+        bids = jnp.where(active[:, None] & is_best, bid[:, None], _BIG_NEG)
         win_bid = jnp.max(bids, axis=0)
         win_row = jnp.argmax(bids, axis=0).astype(jnp.int32)
         contested = win_bid > _BIG_NEG / 2
 
         prices = jnp.where(contested, prices + win_bid, prices)
-        displaced = contested & (owner >= 0)
-        assign = assign.at[jnp.where(displaced, owner, M)].set(
-            -1, mode="drop")
-        col_ids = jnp.arange(M, dtype=jnp.int32)
-        assign = assign.at[jnp.where(contested, win_row, M)].set(
-            jnp.where(contested, col_ids, -1), mode="drop")
+        # Row i wins column j iff j is contested and win_row[j] == i.
+        won = contested[None, :] & (win_row[None, :] == rows)   # [M, M]
+        row_won = jnp.any(won, axis=1)
+        new_col = jnp.argmax(won, axis=1).astype(jnp.int32)
+        # Row i is displaced iff it owned a contested column it didn't win.
+        owned = (owner[None, :] == rows) & contested[None, :]   # [M, M]
+        displaced = jnp.any(owned, axis=1) & ~row_won
+        assign = jnp.where(row_won, new_col,
+                           jnp.where(displaced, -1, assign))
         owner = jnp.where(contested, win_row, owner)
-        return assign, owner, prices, it + 1
+        bidding = (assign, owner, prices, eps, it + 1)
+        return jax.lax.cond(converged, phase_done, lambda s: bidding, state)
 
     assign0 = jnp.full((M,), -1, jnp.int32)
     owner0 = jnp.full((M,), -1, jnp.int32)
-    return jax.lax.while_loop(cond, body,
-                              (assign0, owner0, prices, jnp.int32(0)))[:3]
+    prices0 = jnp.zeros((M,), cost.dtype)
+    out = jax.lax.while_loop(
+        cond, body, (assign0, owner0, prices0, eps_start, jnp.int32(0)))
+    return out[0], out[1], out[2]
 
 
 def _complete_matching(cost, assign, owner):
@@ -96,43 +123,40 @@ def _complete_matching(cost, assign, owner):
     Rare; keeps the output a valid perfect matching unconditionally.
     """
     M = cost.shape[0]
+    ar = jnp.arange(M, dtype=jnp.int32)
 
     def body(i, carry):
         assign, owner = carry
-
-        def fix(carry):
-            assign, owner = carry
-            vals = jnp.where(owner < 0, cost[i], _BIG_NEG)
-            j = jnp.argmax(vals).astype(jnp.int32)
-            return assign.at[i].set(j), owner.at[j].set(i)
-
-        return jax.lax.cond(assign[i] < 0, fix, lambda c: c, (assign, owner))
+        need = assign[i] < 0
+        vals = jnp.where(owner < 0, cost[i], _BIG_NEG)
+        j = jnp.argmax(vals).astype(jnp.int32)
+        assign = jnp.where((ar == i) & need, j, assign)
+        owner = jnp.where((ar == j) & need, i, owner)
+        return assign, owner
 
     return jax.lax.fori_loop(0, M, body, (assign, owner))
 
 
 @partial(jax.jit, static_argnames=("scaling_steps", "max_iters"))
 def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
-                scaling_steps: int = 4, max_iters: int = 4000):
+                scaling_steps: int = 4, max_iters: int = 16000):
     """Max-weight perfect matching on square ``cost`` [M, M].
 
-    Returns ``row_to_col`` int32 [M].  Phases run at geometrically
-    decreasing eps (span/4 -> eps); prices warm-start across phases,
-    assignments reset (standard epsilon scaling).
+    Returns ``row_to_col`` int32 [M].  Epsilon scaling runs geometrically
+    decreasing eps (span/4 -> eps) inside one while_loop; prices warm-start
+    across phases, assignments reset (standard epsilon scaling).
+    ``scaling_steps`` controls the per-phase eps division factor.
     """
-    M = cost.shape[0]
     allowed = cost > NEG / 2
     cmax = jnp.max(jnp.where(allowed, cost, 0.0))
     cmin = jnp.min(jnp.where(allowed, cost, cmax))
     span = jnp.maximum(cmax - cmin, 1e-6)
-    prices = jnp.zeros((M,), cost.dtype)
-    assign = jnp.full((M,), -1, jnp.int32)
-    owner = jnp.full((M,), -1, jnp.int32)
-    for k in range(scaling_steps):
-        frac = k / max(scaling_steps - 1, 1)
-        eps_k = (span / 4.0) ** (1.0 - frac) * (eps ** frac)
-        eps_k = jnp.maximum(eps_k, eps).astype(cost.dtype)
-        assign, owner, prices = _auction_phase(cost, prices, eps_k, max_iters)
+    eps_start = jnp.maximum(span / 4.0, eps).astype(cost.dtype)
+    # Division factor so ~scaling_steps phases reach eps from span/4.
+    ratio = jnp.maximum(eps / eps_start, 1e-12)
+    scale = jnp.exp(jnp.log(ratio) / max(scaling_steps - 1, 1))
+    assign, owner, prices = _auction_all_phases(
+        cost, eps_start, jnp.asarray(eps, cost.dtype), scale, max_iters)
     assign, owner = _complete_matching(cost, assign, owner)
     return assign
 

@@ -28,18 +28,25 @@ def greedy_matching(score: jnp.ndarray):
         return out.reshape(score.shape[:-2] + (score.shape[-1],))
 
     M = score.shape[0]
+    ar = jnp.arange(M, dtype=jnp.int32)
 
     def body(_, state):
-        work, assign = state
-        idx = jnp.argmax(work)
-        i, j = idx // M, idx % M
-        assign = assign.at[i].set(j.astype(jnp.int32))
-        work = work.at[i, :].set(_BIG_NEG)
-        work = work.at[:, j].set(_BIG_NEG)
-        return work, assign
+        # Scatter-free (XLA-TPU compiles scatter-in-loop + big producer
+        # graphs pathologically slowly; masks + where are equivalent).
+        row_used, col_used, assign = state
+        masked = jnp.where(row_used[:, None] | col_used[None, :],
+                           _BIG_NEG, score)
+        idx = jnp.argmax(masked)
+        i = (idx // M).astype(jnp.int32)
+        j = (idx % M).astype(jnp.int32)
+        assign = jnp.where(ar == i, j, assign)
+        row_used = row_used | (ar == i)
+        col_used = col_used | (ar == j)
+        return row_used, col_used, assign
 
     assign0 = jnp.full((M,), -1, jnp.int32)
-    _, assign = jax.lax.fori_loop(0, M, body, (score, assign0))
+    used0 = jnp.zeros((M,), bool)
+    _, _, assign = jax.lax.fori_loop(0, M, body, (used0, used0, assign0))
     return assign
 
 

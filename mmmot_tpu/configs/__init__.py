@@ -32,11 +32,12 @@ def flagship(compute_dtype: str = "bfloat16", max_dets: int = 32,
         ),
         data=DataConfig(max_dets=max_dets, crop_size=(crop, crop),
                         point_len=point_len),
-        # Sinkhorn-LP is the streaming default: it compiles fast fused into
-        # the scan step on TPU (the auction/greedy fused graphs trip an XLA
-        # compile-time pathology, ~400s/step) and matches the exact ILP on
-        # all but near-tied scores.  Switch to "auction" for exact mode.
-        assoc=AssocConfig(solver="sinkhorn"),
+        # Exact in-graph LP (epsilon-scaling auction) is the default — it
+        # reproduces the reference's CBC ILP decisions exactly.  After the
+        # scatter-free single-while-loop rewrite it compiles fused in ~4s
+        # (the original form hit an XLA scatter-in-loop pathology, ~450s).
+        # "sinkhorn" remains the softer/fastest-compile alternative.
+        assoc=AssocConfig(solver="auction"),
         train=TrainConfig(optimizer="adam", lr=3e-4, epochs=40,
                           batch_size=4),
     )
