@@ -24,10 +24,14 @@ import numpy as np
 
 BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
-# Workload shape (KITTI-like).
-S, T, N, P = 4, 32, 32, 256
+import os
+
+# Workload shape (KITTI-like); overridable for experiments via env.
+S = int(os.environ.get("MMMOT_BENCH_S", 4))
+T = int(os.environ.get("MMMOT_BENCH_T", 32))
+N, P = 32, 256
 H, W, M = 384, 1248, 16384
-CROP = 112
+CROP = int(os.environ.get("MMMOT_BENCH_CROP", 112))
 COMPACT = T * 20   # valid-slot compaction capacity (>= max dets/frame * T)
 
 

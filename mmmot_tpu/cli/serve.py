@@ -1,0 +1,136 @@
+"""Online tracking service — newline-delimited JSON over stdin/stdout.
+
+Production-serving surface for the tracker: a long-lived process holds the
+model + tracker state on device and answers one request per frame, keeping
+the per-frame online semantics of the reference's TrackingModule.predict.
+
+Protocol (one JSON object per line):
+
+  request:  {"npz": "/path/to/frame.npz"}        # arrays for one frame
+            {"cmd": "reset"}                      # drop all tracks
+            {"cmd": "quit"}
+  response: {"ids": [...], "frame": k}            # track id per det slot
+            {"ok": true}                          # for commands
+            {"error": "..."}
+
+The npz carries: image [H, W, 3] uint8, cloud [M, 4] float32, boxes [n, 4]
+float32, proj [3, 4] float32 (optional score [n]).  Detections are padded
+to the config's ``max_dets`` internally; ids align with the input order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mmmot_tpu tracking service")
+    p.add_argument("--config", required=True)
+    p.add_argument("--load-path", default=None)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        from mmmot_tpu.utils.jax_setup import force_cpu
+
+        force_cpu()
+    from mmmot_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmot_tpu.config import load_config
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           normalize_crops)
+    from mmmot_tpu.ops.frustum import frustum_sample_batched
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.train import create_train_state
+    from mmmot_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = load_config(args.config)
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+
+    key = jax.random.PRNGKey(0)
+    dummy = {"crops": jnp.zeros((1, 2, N) + crop + (3,)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, key, dummy)
+    if args.load_path:
+        state = restore_checkpoint(args.load_path, state)
+    module = TrackingModule(
+        net, {"params": state.params, "batch_stats": state.batch_stats},
+        cfg.assoc)
+
+    @jax.jit
+    def step(track_state, image, cloud, boxes, det_mask, proj):
+        crops = crop_and_resize_batched(
+            image.astype(jnp.float32)[None], boxes[None], crop,
+            det_mask[None], method="mxu")[0]
+        crops = normalize_crops(crops, scale=1.0 / 255.0)
+        pts, pmask = frustum_sample_batched(
+            cloud[None], boxes[None], proj, P, det_mask=det_mask[None])
+        feats = module.extract(crops, pts[0], pmask[0], det_mask)
+        new_state, out = module.step_from_feats(track_state, feats, det_mask)
+        return new_state, out["ids"]
+
+    track_state = None
+    frame_idx = 0
+    out = sys.stdout
+    print(json.dumps({"ready": True, "config": cfg.name}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "quit":
+                print(json.dumps({"ok": True}), flush=True)
+                break
+            if req.get("cmd") == "reset":
+                track_state = None
+                frame_idx = 0
+                print(json.dumps({"ok": True}), flush=True)
+                continue
+            data = np.load(req["npz"])
+            boxes = np.asarray(data["boxes"], np.float32)
+            n = len(boxes)
+            if n > N:
+                raise ValueError(f"{n} detections > max_dets {N}")
+            boxes_p = np.zeros((N, 4), np.float32)
+            boxes_p[:n] = boxes
+            det_mask = np.zeros((N,), bool)
+            det_mask[:n] = True
+            if track_state is None:
+                track_state = module.init_state(N)
+                cdt = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
+                    else jnp.float32
+                track_state = track_state._replace(
+                    feats={k: v.astype(cdt)
+                           for k, v in track_state.feats.items()})
+            track_state, ids = step(
+                track_state, jnp.asarray(data["image"]),
+                jnp.asarray(data["cloud"]), jnp.asarray(boxes_p),
+                jnp.asarray(det_mask), jnp.asarray(data["proj"]))
+            print(json.dumps({"frame": frame_idx,
+                              "ids": np.asarray(ids)[:n].tolist()}),
+                  flush=True)
+            frame_idx += 1
+        except Exception as e:  # noqa: BLE001 — service must keep running
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

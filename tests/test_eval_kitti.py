@@ -99,3 +99,20 @@ def test_kitti_io_roundtrip(tmp_path):
 def test_malformed_line_rejected():
     with pytest.raises(ValueError, match="malformed"):
         KittiObject.from_line("1 2 Car 0 0")
+
+
+def test_pedestrian_class_eval():
+    """Pedestrian evaluation: Person_sitting is the ignored class."""
+    gt = {0: [obj(0, 1, B1, "Pedestrian"), obj(0, 2, B2, "Person_sitting")]}
+    trk = {0: [obj(0, 5, B1), obj(0, 6, B2)]}
+    ev = TrackingEvaluation(cls="pedestrian")
+    ev.add_sequence(gt, trk, num_frames=1)
+    m = ev.compute()
+    # Pedestrian matched (TP), Person_sitting absorbs the second box.
+    assert (m.tp, m.fp, m.fn) == (1, 0, 0)
+    # Cars in GT are irrelevant for pedestrian eval.
+    gt2 = {0: [obj(0, 1, B1, "Car")]}
+    ev2 = TrackingEvaluation(cls="pedestrian")
+    ev2.add_sequence(gt2, {0: [obj(0, 5, FAR)]}, num_frames=1)
+    m2 = ev2.compute()
+    assert m2.fn == 0 and m2.fp == 1  # car ignored, stray ped det is FP
