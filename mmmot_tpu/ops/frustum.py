@@ -78,12 +78,79 @@ def frustum_sample(points: jnp.ndarray, boxes: jnp.ndarray,
     return sampled, sample_mask
 
 
+def frustum_sample_sorted(points: jnp.ndarray, boxes: jnp.ndarray,
+                          proj: jnp.ndarray, num_samples: int,
+                          det_mask: Optional[jnp.ndarray] = None,
+                          point_valid: Optional[jnp.ndarray] = None,
+                          center: bool = True, window: int = 4096):
+    """Window-sorted frustum sampling: sort the cloud by image-u once, then
+    give each detection a contiguous ``window`` of u-adjacent points and
+    top_k inside that window only.
+
+    Measured on TPU v5e: at M=16k subsampled clouds this is ~3x SLOWER than
+    :func:`frustum_sample` (XLA's batched top_k is efficient; the global
+    sort + slice gathers dominate), so the exact path is the default.  The
+    crossover favours this path only for full-resolution clouds (M ~ 100k+)
+    where per-det top_k over M dwarfs one sort.  Selection order differs
+    from the exact path (u-order instead of scan order) and boxes spanning
+    more than ``window`` u-adjacent points are subsampled from the window.
+    """
+    M = points.shape[0]
+    N = boxes.shape[0]
+    P = num_samples
+    win = min(window, M)
+    u, v, depth = project_points(points[:, :3], proj)
+    if point_valid is not None:
+        # Push invalid points to +inf u so they sort to the end.
+        u_key = jnp.where(point_valid, u, jnp.inf)
+    else:
+        u_key = u
+    order = jnp.argsort(u_key)
+    pts_s = points[order]
+    u_s, v_s, d_s = u[order], v[order], depth[order]
+    valid_s = (point_valid[order] if point_valid is not None
+               else jnp.ones((M,), bool))
+
+    starts = jnp.clip(jnp.searchsorted(u_s, boxes[:, 0]), 0, M - win)
+
+    def one_det(start, box, dm):
+        uw = jax.lax.dynamic_slice(u_s, (start,), (win,))
+        vw = jax.lax.dynamic_slice(v_s, (start,), (win,))
+        dw = jax.lax.dynamic_slice(d_s, (start,), (win,))
+        valw = jax.lax.dynamic_slice(valid_s, (start,), (win,))
+        pw = jax.lax.dynamic_slice(pts_s, (start, 0),
+                                   (win, points.shape[-1]))
+        inside = ((uw >= box[0]) & (uw <= box[2]) & (vw >= box[1])
+                  & (vw <= box[3]) & (dw > 0.1) & valw & dm)
+        idx_rank = jnp.arange(win, dtype=jnp.int32)
+        score = jnp.where(inside, win - idx_rank, 0)
+        top_scores, top_idx = jax.lax.top_k(score, P)
+        smask = top_scores > 0
+        sampled = pw[top_idx] * smask[:, None].astype(pw.dtype)
+        return sampled, smask
+
+    dmn = det_mask if det_mask is not None else jnp.ones((N,), bool)
+    sampled, smask = jax.vmap(one_det)(starts, boxes, dmn)
+    if center:
+        cnt = jnp.maximum(jnp.sum(smask, axis=-1, keepdims=True), 1)
+        centroid = (jnp.sum(sampled[..., :3] * smask[..., None], axis=-2,
+                            keepdims=True) / cnt[..., None])
+        xyz = (sampled[..., :3] - centroid) * smask[..., None]
+        sampled = jnp.concatenate([xyz, sampled[..., 3:]], axis=-1)
+    return sampled, smask
+
+
 def frustum_sample_batched(points: jnp.ndarray, boxes: jnp.ndarray,
                            proj: jnp.ndarray, num_samples: int,
                            det_mask: Optional[jnp.ndarray] = None,
                            point_valid: Optional[jnp.ndarray] = None,
-                           center: bool = True):
-    """points [..., M, C], boxes [..., N, 4], proj [3,4] or [..., 3, 4]."""
+                           center: bool = True, method: str = "exact"):
+    """points [..., M, C], boxes [..., N, 4], proj [3,4] or [..., 3, 4].
+
+    ``method='exact'`` selects in-box points in scan order (parity path);
+    ``'sorted'`` uses the u-sorted window fast path (see
+    :func:`frustum_sample_sorted`).
+    """
     lead = boxes.shape[:-2]
     M, C = points.shape[-2:]
     N = boxes.shape[-2]
@@ -96,8 +163,8 @@ def frustum_sample_batched(points: jnp.ndarray, boxes: jnp.ndarray,
            else jnp.ones((B, N), bool))
     pvf = (point_valid.reshape((B, M)) if point_valid is not None
            else jnp.ones((B, M), bool))
-    fn = jax.vmap(partial(frustum_sample, num_samples=num_samples,
-                          center=center))
+    base = frustum_sample if method == "exact" else frustum_sample_sorted
+    fn = jax.vmap(partial(base, num_samples=num_samples, center=center))
     sampled, mask = fn(pf, bf, projf, det_mask=dmf, point_valid=pvf)
     return (sampled.reshape(lead + (N, num_samples, C)),
             mask.reshape(lead + (N, num_samples)))
