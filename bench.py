@@ -27,12 +27,15 @@ BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 import os
 
 # Workload shape (KITTI-like); overridable for experiments via env.
-S = int(os.environ.get("MMMOT_BENCH_S", 4))
+S = int(os.environ.get("MMMOT_BENCH_S", 8))
 T = int(os.environ.get("MMMOT_BENCH_T", 32))
 N, P = 32, 256
 H, W, M = 384, 1248, 16384
 CROP = int(os.environ.get("MMMOT_BENCH_CROP", 112))
 COMPACT = T * 20   # valid-slot compaction capacity (>= max dets/frame * T)
+# Chunk the conv stage so S*COMPACT crops don't blow HBM (S*CHUNK crops per
+# conv step; S=8 x 320 = 2560 fits; unchunked S=8 x 640 OOMs).
+CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 320)) or None
 
 
 def main():
@@ -88,7 +91,7 @@ def main():
     module = TrackingModule(net, variables, cfg.assoc)
     f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
         module, im, cl, bx, dm, proj, (CROP, CROP), P,
-        compact_capacity=COMPACT))
+        compact_capacity=COMPACT, extract_chunk=CHUNK))
 
     out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
 

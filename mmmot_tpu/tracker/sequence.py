@@ -31,7 +31,8 @@ from mmmot_tpu.tracker.tracker import TrackerState, TrackingModule
 
 
 def _compact_extract(module: TrackingModule, crops, points, point_mask,
-                     det_mask, capacity: int):
+                     det_mask, capacity: int,
+                     extract_chunk: int | None = None):
     """Feature-extract only the valid detection slots.
 
     Padded slots waste conv FLOPs (KITTI frames average ~10 valid of N
@@ -55,7 +56,28 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
          if points is not None else None)
     pm = (point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
           if point_mask is not None else None)
-    feats_c = module.extract(c, p, pm, taken)
+    if extract_chunk and capacity > extract_chunk:
+        # Bound conv-stage activation memory: run the extractor over chunks
+        # sequentially (lax.map -> scan); eval-mode BN is per-element so
+        # chunking is exact.
+        if capacity % extract_chunk:
+            raise ValueError(f"capacity {capacity} not divisible by "
+                             f"extract_chunk {extract_chunk}")
+        nch = capacity // extract_chunk
+
+        def resh(x):
+            return (None if x is None
+                    else x.reshape((nch, extract_chunk) + x.shape[1:]))
+
+        def ex(args):
+            c_, p_, pm_, m_ = args
+            return module.extract(c_, p_, pm_, m_)
+
+        feats_c = jax.lax.map(ex, (resh(c), resh(p), resh(pm), resh(taken)))
+        feats_c = {k: v.reshape((capacity,) + v.shape[2:])
+                   for k, v in feats_c.items()}
+    else:
+        feats_c = module.extract(c, p, pm, taken)
 
     feats = {}
     for k, v in feats_c.items():
@@ -67,7 +89,8 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
 
 
 def track_sequence(module: TrackingModule, crops, points, point_mask,
-                   det_mask, compact_capacity: int | None = None
+                   det_mask, compact_capacity: int | None = None,
+                   extract_chunk: int | None = None
                    ) -> Dict[str, jnp.ndarray]:
     """Track one sequence of ``T`` frames of padded detections.
 
@@ -82,7 +105,8 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     if compact_capacity is not None:
         feats, det_mask = _compact_extract(module, crops, points,
                                            point_mask, det_mask,
-                                           compact_capacity)
+                                           compact_capacity,
+                                           extract_chunk=extract_chunk)
     else:
         # One batched feature pass over every (frame, slot).
         feats = module.extract(crops, points, point_mask, det_mask)
@@ -107,7 +131,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                crop_size: Tuple[int, int],
                                points_per_det: int,
                                cloud_valid=None,
-                               compact_capacity: int | None = None
+                               compact_capacity: int | None = None,
+                               extract_chunk: int | None = None
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -131,7 +156,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         clouds, boxes, proj, points_per_det, det_mask=det_mask,
         point_valid=cloud_valid)
     return track_sequence(module, crops, points, point_mask, det_mask,
-                          compact_capacity=compact_capacity)
+                          compact_capacity=compact_capacity,
+                          extract_chunk=extract_chunk)
 
 
 def track_sequences_batched(module: TrackingModule, crops, points,
@@ -154,7 +180,8 @@ def track_sequences_from_frames_batched(module: TrackingModule, images,
                                         clouds, boxes, det_mask, proj,
                                         crop_size: Tuple[int, int],
                                         points_per_det: int,
-                                        compact_capacity: int | None = None
+                                        compact_capacity: int | None = None,
+                                        extract_chunk: int | None = None
                                         ) -> Dict[str, jnp.ndarray]:
     """Batched raw-frame tracking: leading [S] sequence axis on all inputs.
 
@@ -164,6 +191,6 @@ def track_sequences_from_frames_batched(module: TrackingModule, images,
     def one(im, cl, bx, dm):
         return track_sequence_from_frames(
             module, im, cl, bx, dm, proj, crop_size, points_per_det,
-            compact_capacity=compact_capacity)
+            compact_capacity=compact_capacity, extract_chunk=extract_chunk)
 
     return jax.vmap(one)(images, clouds, boxes, det_mask)
