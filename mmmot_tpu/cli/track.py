@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--no-eval", action="store_true",
                    help="skip devkit scoring")
+    p.add_argument("--solver", default=None,
+                   help="override association solver "
+                        "(auction|sinkhorn|greedy|ilp|lap|native)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -58,6 +61,11 @@ def main(argv=None):
     log = create_logger("mmmot.track")
 
     cfg = load_config(args.config)
+    if args.solver:
+        import dataclasses
+
+        cfg = cfg.replace(assoc=dataclasses.replace(cfg.assoc,
+                                                    solver=args.solver))
     net = model_entry(cfg.model)
     N, P, crop = cfg.data.max_dets, cfg.data.point_len, cfg.data.crop_size
 
