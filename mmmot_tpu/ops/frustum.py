@@ -56,10 +56,11 @@ def frustum_sample(points: jnp.ndarray, boxes: jnp.ndarray,
     if det_mask is not None:
         inside = inside & det_mask[:, None]
 
-    #
-
     # Deterministic selection: score = inside * (M - index); top_k picks
-    # in-box points in ascending index order.
+    # in-box points in ascending index order.  (A cumsum + searchsorted
+    # formulation does ~100x less "work" but measures 5x SLOWER on TPU —
+    # searchsorted lowers to scalar binary searches while top_k uses the
+    # vectorized sort network.  Keep top_k.)
     idx_rank = jnp.arange(M, dtype=jnp.int32)
     score = jnp.where(inside, M - idx_rank[None, :], 0)
     top_scores, top_idx = jax.lax.top_k(score, P)                # [N, P]
