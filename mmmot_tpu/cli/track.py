@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--no-eval", action="store_true",
                    help="skip devkit scoring")
+    p.add_argument("--score-threshold", type=float, default=0.0,
+                   help="drop output detections whose learned confidence "
+                        "(det head) is below this")
     p.add_argument("--solver", default=None,
                    help="override association solver "
                         "(auction|sinkhorn|greedy|ilp|lap|native)")
@@ -110,7 +113,11 @@ def main(argv=None):
             t_total += dt
             total_frames += args.frames
         ids = np.asarray(out["ids"])
-        res = tracker_output_to_objects(ids, world.det_mask, world.boxes2d,
+        det_mask = world.det_mask
+        if args.score_threshold > 0:
+            det_mask = det_mask & (np.asarray(out["det_score"])
+                                   >= args.score_threshold)
+        res = tracker_output_to_objects(ids, det_mask, world.boxes2d,
                                         world.scores)
         path = os.path.join(res_dir, f"{s:04d}.txt")
         write_kitti_result(res, path)
@@ -164,10 +171,14 @@ def _track_kitti(args, cfg, module, res_dir, ev, log):
             total_frames += T
             t_total += dt
         ids = np.asarray(out["ids"])
+        keep = arrs.det_mask
+        if args.score_threshold > 0:
+            keep = keep & (np.asarray(out["det_score"])
+                           >= args.score_threshold)
         objs = []
         for t in range(T):
             for n in range(arrs.det_mask.shape[1]):
-                if not arrs.det_mask[t, n] or ids[t, n] < 0:
+                if not keep[t, n] or ids[t, n] < 0:
                     continue
                 objs.append(KittiObject(
                     frame=int(arrs.frame_ids[t]), track_id=int(ids[t, n]),

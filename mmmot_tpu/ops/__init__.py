@@ -7,3 +7,9 @@ from mmmot_tpu.ops.masking import (
     pad_to,
     pair_mask,
 )
+from mmmot_tpu.ops.crop_resize import (crop_and_resize,
+                                       crop_and_resize_batched,
+                                       crop_and_resize_mxu,
+                                       normalize_crops)
+from mmmot_tpu.ops.frustum import (frustum_sample, frustum_sample_batched,
+                                   project_points)

@@ -119,11 +119,11 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     def step(state, frame):
         f, dm = frame
         state, out = module.step_from_feats(state, f, dm)
-        return state, out["ids"]
+        return state, (out["ids"], out["det_score"])
 
     frames = ({k: v for k, v in feats.items()}, det_mask)
-    _, ids = jax.lax.scan(step, state0, frames)
-    return {"ids": ids}
+    _, (ids, det_score) = jax.lax.scan(step, state0, frames)
+    return {"ids": ids, "det_score": det_score}
 
 
 def track_sequence_from_frames(module: TrackingModule, images, clouds,

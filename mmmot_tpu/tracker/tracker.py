@@ -189,7 +189,10 @@ class TrackingModule:
                 jnp.int32),
             next_id=next_id,
         )
-        out = {"ids": ids_curr, "decisions": dec,
+        det_score = jax.nn.sigmoid(
+            self.net.apply(self.variables, feats["fused"], det_mask,
+                           method=self.net.det_score))
+        out = {"ids": ids_curr, "decisions": dec, "det_score": det_score,
                "link": aff.link, "new": aff.new, "end": aff.end}
         return new_state, out
 
