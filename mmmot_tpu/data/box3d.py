@@ -64,8 +64,23 @@ def points_in_box3d(points, box):
             & (py <= 0) & (py >= -h))
 
 
+def _signed_area(poly) -> float:
+    a = 0.0
+    for i in range(len(poly)):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % len(poly)]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
 def _polygon_clip(subject, clip):
-    """Sutherland–Hodgman clip of convex polygons [K, 2] (numpy)."""
+    """Sutherland–Hodgman clip of convex polygons [K, 2] (numpy).
+
+    The clip polygon is normalised to counter-clockwise winding (the
+    half-plane test assumes it); box footprints come out clockwise.
+    """
+    if _signed_area(clip) < 0:
+        clip = list(reversed(clip))
     out = list(subject)
     for i in range(len(clip)):
         a, b = clip[i], clip[(i + 1) % len(clip)]
