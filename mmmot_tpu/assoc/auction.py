@@ -24,8 +24,6 @@ so the exact path pays for the full square reduction instead.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -31,7 +31,7 @@ never changes the argmax over real decisions.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mmmot_tpu.assoc.cost import Decisions, build_assignment_cost, decode_assignment
+from mmmot_tpu.assoc.cost import Decisions
 
 _BIG_NEG = -1e9
 

@@ -9,7 +9,6 @@ identical code path end-to-end (model -> scan tracker -> txt -> metrics).
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import time
 

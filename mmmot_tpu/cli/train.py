@@ -12,7 +12,6 @@ reference's validate()/save_checkpoint(best) flow.
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import time
 

@@ -13,7 +13,7 @@ in ``kitti_dataset.py`` and produces identical structures.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ path (models/affinity.py correlation_tensor).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ per-detection embedding).  TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

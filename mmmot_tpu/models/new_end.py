@@ -9,7 +9,7 @@ feature; v1 uses the feature alone.  Both operate on masked padded slots.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -25,7 +25,7 @@ Forward produces affinities for every adjacent frame pair (T-1 pairs):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Point selection is deterministic: in-box points in ascending index order
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

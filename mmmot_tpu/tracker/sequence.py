@@ -20,14 +20,12 @@ except ages; emitted IDs for invalid slots are -1.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from mmmot_tpu.config import AssocConfig
-from mmmot_tpu.tracker.tracker import TrackerState, TrackingModule
+from mmmot_tpu.tracker.tracker import TrackingModule
 
 
 def _compact_extract(module: TrackingModule, crops, points, point_mask,

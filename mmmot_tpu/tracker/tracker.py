@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from mmmot_tpu.assoc import associate
 from mmmot_tpu.assoc.cost import Decisions
-from mmmot_tpu.config import AssocConfig, ModelConfig
+from mmmot_tpu.config import AssocConfig
 from mmmot_tpu.models.tracking_net import TrackingNet
 
 

@@ -9,9 +9,8 @@ the best-val-MOTA model).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

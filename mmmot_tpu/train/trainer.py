@@ -10,7 +10,7 @@ the step function itself contains no collectives (MaskedBatchNorm takes
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
