@@ -4,8 +4,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
+
 from mmmot_tpu.assoc.auction import solve_auction
-from mmmot_tpu.assoc.cost import Decisions
+from mmmot_tpu.assoc.cost import NEG, Decisions
 from mmmot_tpu.assoc.greedy import solve_greedy
 from mmmot_tpu.assoc.ilp_oracle import (solve_ilp_oracle, solve_lap_oracle,
                                         solve_native_oracle)
@@ -25,6 +27,12 @@ def associate(link, new, end, mask_prev, mask_curr,
     jittable); ``auction``/``sinkhorn``/``greedy`` are pure-JAX.
     """
     cfg = cfg or AssocConfig()
+    if cfg.link_threshold > 0.0:
+        # Links scoring below the threshold are forbidden outright (the
+        # solver must then explain those dets via end/new instead), applied
+        # uniformly so in-graph solvers and host oracles stay in agreement.
+        link = jnp.where(link >= cfg.link_threshold, link,
+                         jnp.asarray(NEG, link.dtype))
     s = cfg.solver
     if s == "auction":
         return solve_auction(link, new, end, mask_prev, mask_curr,

@@ -56,11 +56,29 @@ def convert_bn(prefix: str, sd: Mapping[str, Any]
     return params, stats
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a reference .pth/.pth.tar checkpoint to a flat state dict."""
+def load_torch_checkpoint(path: str,
+                          allow_pickle: bool = False) -> Dict[str, Any]:
+    """Load a reference .pth/.pth.tar checkpoint to a flat state dict.
+
+    Loads with ``weights_only=True`` by default: reference checkpoints are
+    untrusted public content, and full pickle deserialization executes
+    arbitrary code.  Plain tensor state dicts (all reference checkpoints)
+    load fine this way; pass ``allow_pickle=True`` to explicitly opt in to
+    unsafe loading for exotic archives.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        import warnings
+
+        warnings.warn(
+            "weights_only load failed; falling back to UNSAFE pickle "
+            "deserialization because allow_pickle=True was passed")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k.replace("module.", "", 1) if k.startswith("module.") else k: v

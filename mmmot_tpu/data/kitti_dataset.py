@@ -143,13 +143,20 @@ class KittiTrackingDataset:
                 boxes[t, n] = o.bbox
                 det_mask[t, n] = True
                 scores[t, n] = 1.0 if o.score is None else o.score
-                # GT id by best-IoU match (oracle dets match at IoU 1.0).
-                if gt_objs:
-                    ious = _iou_one(o.bbox, np.stack(
-                        [g.bbox for g in gt_objs]))
-                    j = int(np.argmax(ious))
-                    if ious[j] >= 0.5:
-                        gt_ids[t, n] = gt_objs[j].track_id
+            # GT ids by one-to-one Hungarian matching on IoU (>= 0.5) so no
+            # two detections can claim the same GT track (reference:
+            # utils/data_util.py GT link-label generation; SURVEY.md §3.4) —
+            # a double assignment would put two 1s in one association-label
+            # row and corrupt the training target.
+            if objs and gt_objs:
+                det_b = np.stack([o.bbox for o in objs])
+                gt_b = np.stack([g.bbox for g in gt_objs])
+                ious = _iou_pair(det_b, gt_b)
+                cost = np.where(ious >= 0.5, 1.0 - ious, 1e9)
+                rows, cols = _lsa(cost)
+                for r, c in zip(rows, cols):
+                    if ious[r, c] >= 0.5:
+                        gt_ids[t, r] = gt_objs[c].track_id
 
         return SequenceArrays(images=images, clouds=clouds,
                               cloud_valid=cloud_valid, boxes=boxes,
@@ -171,11 +178,19 @@ class KittiTrackingDataset:
             yield self.load_sequence(seq, start=t0, max_frames=2)
 
 
-def _iou_one(box: np.ndarray, others: np.ndarray) -> np.ndarray:
-    lt = np.maximum(box[:2], others[:, :2])
-    rb = np.minimum(box[2:], others[:, 2:])
+def _iou_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of [Na, 4] x [Nb, 4] (l, t, r, b) boxes."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
     wh = np.clip(rb - lt, 0, None)
-    inter = wh[:, 0] * wh[:, 1]
-    a = (box[2] - box[0]) * (box[3] - box[1])
-    b = (others[:, 2] - others[:, 0]) * (others[:, 3] - others[:, 1])
-    return inter / np.maximum(a + b - inter, 1e-9)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter,
+                              1e-9)
+
+
+def _lsa(cost: np.ndarray):
+    import scipy.optimize as sopt
+
+    return sopt.linear_sum_assignment(cost)

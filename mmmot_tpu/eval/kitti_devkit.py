@@ -213,7 +213,7 @@ class TrackingEvaluation:
                 coverage = tracked / len(frames)
                 if coverage >= self.mt_threshold:
                     mt += 1
-                elif coverage < self.ml_threshold:
+                elif coverage <= self.ml_threshold:
                     ml += 1
                 else:
                     pt += 1

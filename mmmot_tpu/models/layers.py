@@ -66,10 +66,13 @@ class MaskedBatchNorm(nn.Module):
             mean = s1 / cnt
             var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
             if not self.is_initializing():
+                # torch BatchNorm stores the *unbiased* variance estimate in
+                # running_var (normalisation itself uses the biased one).
+                unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * unbiased)
 
         scale = self.param("scale", nn.initializers.ones, (features,),
                            self.param_dtype)

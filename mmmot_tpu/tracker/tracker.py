@@ -128,9 +128,11 @@ class TrackingModule:
         ops = self.net.cfg.affinity.correlation_ops
         branches = score_branches(self.net.cfg)
         link = None
+        n_scored = 0
         for branch in branches:
             if branch not in feats_prev:
                 continue
+            n_scored += 1
             p = params[f"affinity_{branch}"]
             s = stats[f"affinity_{branch}"]
             w1, b1 = fold_bn_into_dense(
@@ -143,8 +145,12 @@ class TrackingModule:
                 w1, b1, p["head_out"]["kernel"], p["head_out"]["bias"],
                 ops=ops)
             link = scores if link is None else link + scores
+        if link is None:
+            raise ValueError(
+                f"no affinity branch of {branches} present in feats "
+                f"{sorted(feats_prev)}")
         if self.net.cfg.score_fusion == "avg":
-            link = link / len(branches)
+            link = link / n_scored
         pm = pair_mask(mask_prev, mask_curr)
         link = link * pm.astype(link.dtype)
 

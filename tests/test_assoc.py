@@ -118,6 +118,25 @@ def test_batched_auction(rng):
             pytest.approx(_obj(single, inst), abs=1e-3)
 
 
+def test_link_threshold_forbids_weak_links(rng):
+    """associate() with link_threshold rejects sub-threshold links."""
+    from mmmot_tpu.assoc import associate
+    from mmmot_tpu.config import AssocConfig
+
+    full = jnp.ones(N, bool)
+    # All links weak (0.3) but still cheaper than end+new (0.1 + 0.1 = 0.2
+    # per pair < 0.3): without a threshold everything links.
+    link = jnp.full((N, N), 0.01) + 0.29 * jnp.eye(N)
+    new = jnp.full(N, 0.1)
+    end = jnp.full(N, 0.1)
+    dec = associate(link, new, end, full, full, AssocConfig())
+    assert bool(jnp.all(dec.match_prev >= 0))
+    dec = associate(link, new, end, full, full,
+                    AssocConfig(link_threshold=0.5))
+    assert not bool(jnp.any(dec.match_prev >= 0))
+    assert bool(jnp.all(dec.is_end)) and bool(jnp.all(dec.is_new))
+
+
 def test_empty_frames():
     z = jnp.zeros((N, N)); zn = jnp.zeros(N)
     none = jnp.zeros(N, bool)

@@ -79,6 +79,16 @@ def test_ml_classification():
     assert m.ml == 1.0 and m.mt == 0.0
 
 
+def test_ml_boundary_inclusive():
+    """Coverage exactly 20% is ML, not PT (devkit uses coverage <= 0.2)."""
+    gt = {f: [obj(f, 1, B1)] for f in range(10)}
+    trk = {0: [obj(0, 5, B1)], 1: [obj(1, 5, B1)]}   # 2/10 = 0.2
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk, num_frames=10)
+    m = ev.compute()
+    assert m.ml == 1.0 and m.pt == 0.0
+
+
 def test_kitti_io_roundtrip(tmp_path):
     objs = [obj(0, 1, B1), obj(1, 1, [10.5, 20.25, 99.125, 150.0625]),
             obj(1, 2, B2)]

@@ -111,6 +111,30 @@ def test_training_pairs(kitti_tree):
         assert p.images.shape[0] == 2
 
 
+def test_gt_matching_one_to_one(kitti_tree):
+    """Two detections overlapping one GT: only one may take its track id."""
+    det_dir = os.path.join(kitti_tree, "detections", "pointpillars")
+    os.makedirs(det_dir, exist_ok=True)
+    # Frame 0 GT: single Car id=1 at [100, 150, 220, 230].  Two near-identical
+    # detections both overlap it above 0.5 IoU; argmax matching would hand
+    # id=1 to both.
+    dets = [
+        KittiObject(frame=0, track_id=-1, obj_type="Car", score=0.9,
+                    bbox=np.array([100, 150, 220, 230.0])),
+        KittiObject(frame=0, track_id=-1, obj_type="Car", score=0.8,
+                    bbox=np.array([104, 152, 224, 232.0])),
+    ]
+    write_kitti_result(dets, os.path.join(det_dir, "0000.txt"))
+    cfg = DataConfig(root=kitti_tree, max_dets=8)
+    ds = KittiTrackingDataset(cfg, max_cloud_points=128)
+    arrs = ds.load_sequence("0000", max_frames=1)
+    assigned = arrs.gt_ids[0][arrs.det_mask[0]]
+    assert (assigned == 1).sum() == 1          # exactly one det owns GT 1
+    assert (assigned == -1).sum() == 1         # the other is unmatched
+    # And the exact-overlap det (higher IoU) is the one that wins.
+    assert arrs.gt_ids[0, 0] == 1
+
+
 def test_missing_tree_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         KittiTrackingDataset(DataConfig(root=str(tmp_path / "nope")))
