@@ -29,7 +29,8 @@ import os
 # Workload shape (KITTI-like); overridable for experiments via env.
 S = int(os.environ.get("MMMOT_BENCH_S", 8))
 T = int(os.environ.get("MMMOT_BENCH_T", 32))
-N, P = 32, 256
+N = int(os.environ.get("MMMOT_BENCH_N", 32))
+P = int(os.environ.get("MMMOT_BENCH_P", 256))
 H, W, M = 384, 1248, 16384
 CROP = int(os.environ.get("MMMOT_BENCH_CROP", 112))
 COMPACT = T * 20   # valid-slot compaction capacity (>= max dets/frame * T)

@@ -33,17 +33,26 @@ from mmmot_tpu.assoc.cost import (NEG, Decisions, build_assignment_cost,
 _BIG_NEG = -1e9
 
 
-def build_gain_matrix(link, new, end, mask_prev, mask_curr):
-    """gain[i,j] = link[i,j] - end[i] - new[j]; forbidden pairs -> NEG.
+def build_gain_matrix(link, new, end, mask_prev, mask_curr,
+                      det_prev=None, det_curr=None):
+    """gain[i,j] = link[i,j] - outside_p[i] - outside_c[j]; forbidden -> NEG.
 
     The tracking objective equals ``sum of matched gains + constant``, so
     any max-weight *partial* matching on this matrix (outside option 0) is an
-    exact reformulation.  Used by greedy; see module docstring for why the
-    scaled auction does not run on this form.
+    exact reformulation.  Without det scores the outside options are end[i]
+    and new[j]; with them, linking additionally earns the det scores and the
+    outside option is ``max(det + end/new, 0)`` (end-or-reject).  Used by
+    greedy; see module docstring for why the scaled auction does not run on
+    this form.
     """
     pair_ok = (mask_prev.astype(bool)[..., :, None]
                & mask_curr.astype(bool)[..., None, :])
-    gain = link - end[..., :, None] - new[..., None, :]
+    if det_prev is not None:
+        out_p = jnp.maximum(end + det_prev, 0.0) - det_prev
+        out_c = jnp.maximum(new + det_curr, 0.0) - det_curr
+    else:
+        out_p, out_c = end, new
+    gain = link - out_p[..., :, None] - out_c[..., None, :]
     return jnp.where(pair_ok, gain, NEG)
 
 
@@ -159,7 +168,8 @@ def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
     return assign
 
 
-def decode_matching(row_to_col, mask_prev, mask_curr) -> Decisions:
+def decode_matching(row_to_col, mask_prev, mask_curr, new=None, end=None,
+                    det_prev=None, det_curr=None) -> Decisions:
     """Decode a *partial* matching [.., N] (curr col or -1) into Decisions."""
     N = mask_prev.shape[-1]
     mp = mask_prev.astype(bool)
@@ -181,17 +191,25 @@ def decode_matching(row_to_col, mask_prev, mask_curr) -> Decisions:
     match_curr = jax.vmap(invert)(flat, flatv).reshape(batch_shape + (N,))
     match_curr = jnp.where(mc, match_curr, -1)
     is_new = mc & (match_curr < 0)
+    if det_prev is not None:
+        is_end = is_end & ((det_prev + end) >= 0.0)
+        is_new = is_new & ((det_curr + new) >= 0.0)
+    keep_prev = linked | is_end
+    keep_curr = ((match_curr >= 0) | is_new) & mc
     return Decisions(match_prev=match_prev, match_curr=match_curr,
-                     is_end=is_end, is_new=is_new)
+                     is_end=is_end, is_new=is_new,
+                     keep_prev=keep_prev, keep_curr=keep_curr)
 
 
 def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
-                  scaling_steps: int = 4, max_iters: int = 4000) -> Decisions:
+                  scaling_steps: int = 4, max_iters: int = 4000,
+                  det_prev=None, det_curr=None) -> Decisions:
     """Full pipeline: scores -> square reduction -> auction -> decisions.
 
     Supports arbitrary leading batch axes (vmapped internally).
     """
-    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr)
+    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr,
+                                 det_prev=det_prev, det_curr=det_curr)
     batch_shape = cost.shape[:-2]
     M = cost.shape[-1]
     flat = cost.reshape((-1, M, M))
@@ -199,4 +217,5 @@ def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
                                            scaling_steps=scaling_steps,
                                            max_iters=max_iters))
     rc = solve(flat).reshape(batch_shape + (M,))
-    return decode_assignment(rc, mask_prev, mask_curr)
+    return decode_assignment(rc, mask_prev, mask_curr, new=new, end=end,
+                             det_prev=det_prev, det_curr=det_curr)

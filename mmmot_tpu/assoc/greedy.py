@@ -50,16 +50,18 @@ def greedy_matching(score: jnp.ndarray):
     return assign
 
 
-def solve_greedy(link, new, end, mask_prev, mask_curr) -> Decisions:
+def solve_greedy(link, new, end, mask_prev, mask_curr,
+                 det_prev=None, det_curr=None) -> Decisions:
     """Greedy on the gain matrix: accept pairs while the best gain is > 0."""
     from mmmot_tpu.assoc.auction import build_gain_matrix, decode_matching
 
-    gain = build_gain_matrix(link, new, end, mask_prev, mask_curr)
+    gain = build_gain_matrix(link, new, end, mask_prev, mask_curr,
+                             det_prev=det_prev, det_curr=det_curr)
     rc = greedy_matching(gain)
     # Greedy fills every row; drop pairs whose gain is not positive (the
     # outside option end+new is better for those).
-    N = gain.shape[-1]
     picked = jnp.take_along_axis(
         gain, jnp.maximum(rc, 0)[..., None], axis=-1)[..., 0]
     rc = jnp.where((rc >= 0) & (picked > 0.0), rc, -1)
-    return decode_matching(rc, mask_prev, mask_curr)
+    return decode_matching(rc, mask_prev, mask_curr, new=new, end=end,
+                           det_prev=det_prev, det_curr=det_curr)

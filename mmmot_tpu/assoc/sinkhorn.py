@@ -46,8 +46,11 @@ def sinkhorn_lap(cost: jnp.ndarray, tau: float = 0.05, iters: int = 100):
 
 
 def solve_sinkhorn(link, new, end, mask_prev, mask_curr, tau: float = 0.05,
-                   iters: int = 100) -> Decisions:
-    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr)
+                   iters: int = 100, det_prev=None,
+                   det_curr=None) -> Decisions:
+    cost = build_assignment_cost(link, new, end, mask_prev, mask_curr,
+                                 det_prev=det_prev, det_curr=det_curr)
     log_plan = sinkhorn_lap(cost, tau=tau, iters=iters)
     rc = greedy_matching(log_plan)
-    return decode_assignment(rc, mask_prev, mask_curr)
+    return decode_assignment(rc, mask_prev, mask_curr, new=new, end=end,
+                             det_prev=det_prev, det_curr=det_curr)

@@ -155,6 +155,8 @@ class AssocConfig:
     sinkhorn_tau: float = 0.05
     sinkhorn_iters: int = 100
     link_threshold: float = 0.0        # min link score to accept a match
+    use_det_scores: bool = False       # LP-level FP rejection via y_det vars
+    det_score_weight: float = 1.0      # weight on det logits in the LP
 
 
 @dataclass(frozen=True)

@@ -180,8 +180,27 @@ class TrackingModule:
         link = aff.link_norm
         new_s = jax.nn.sigmoid(aff.new)
         end_s = jax.nn.sigmoid(aff.end)
-        dec = associate(link, new_s, end_s, state.mask, det_mask,
-                        self.assoc_cfg)
+        det_logit_curr = self.net.apply(
+            self.variables, feats["fused"], det_mask,
+            method=self.net.det_score)
+        if self.assoc_cfg.use_det_scores:
+            # Detection-confidence variables in the LP (reference ILP
+            # ``y_det``): the solver may reject low-confidence dets instead
+            # of explaining every one.  Raw logits (log-odds; negative =
+            # likely FP) give the reject arm teeth.
+            w = self.assoc_cfg.det_score_weight
+            det_logit_prev = self.net.apply(
+                self.variables, state.feats["fused"], state.mask,
+                method=self.net.det_score)
+            dec = associate(link, new_s, end_s, state.mask, det_mask,
+                            self.assoc_cfg,
+                            det_prev=w * det_logit_prev.astype(link.dtype),
+                            det_curr=w * det_logit_curr.astype(link.dtype))
+            kept_mask = det_mask & dec.keep_curr
+        else:
+            dec = associate(link, new_s, end_s, state.mask, det_mask,
+                            self.assoc_cfg)
+            kept_mask = det_mask
         ids_curr, next_id = assign_ids(state, dec, det_mask)
 
         matched_prev_age = jnp.where(
@@ -189,15 +208,13 @@ class TrackingModule:
             0)
         new_state = TrackerState(
             feats=feats,
-            mask=det_mask,
+            mask=kept_mask,
             ids=ids_curr,
-            ages=jnp.where(det_mask, matched_prev_age + 1, 0).astype(
+            ages=jnp.where(kept_mask, matched_prev_age + 1, 0).astype(
                 jnp.int32),
             next_id=next_id,
         )
-        det_score = jax.nn.sigmoid(
-            self.net.apply(self.variables, feats["fused"], det_mask,
-                           method=self.net.det_score))
+        det_score = jax.nn.sigmoid(det_logit_curr)
         out = {"ids": ids_curr, "decisions": dec, "det_score": det_score,
                "link": aff.link, "new": aff.new, "end": aff.end}
         return new_state, out

@@ -118,6 +118,103 @@ def test_batched_auction(rng):
             pytest.approx(_obj(single, inst), abs=1e-3)
 
 
+def det_instances(rng, trials=TRIALS):
+    """Instances with per-detection confidence scores (log-odds-like)."""
+    for _ in range(trials):
+        link = rng.normal(0, 1, (N, N)).astype(np.float32)
+        new = rng.uniform(0, 1, N).astype(np.float32)
+        end = rng.uniform(0, 1, N).astype(np.float32)
+        det_p = rng.normal(0, 1.5, N).astype(np.float32)
+        det_c = rng.normal(0, 1.5, N).astype(np.float32)
+        mp = np.arange(N) < rng.integers(0, N + 1)
+        mc = np.arange(N) < rng.integers(0, N + 1)
+        yield (link, new, end, mp, mc, det_p, det_c)
+
+
+def _obj_det(dec, inst):
+    link, new, end, mp, mc, dp, dc = [jnp.asarray(x) for x in inst]
+    return float(decisions_objective(dec, link, new, end, mp, mc,
+                                     det_prev=dp, det_curr=dc))
+
+
+def check_valid_det(dec, mp, mc):
+    """With y_det: accepted prev links xor ends; rejected does neither."""
+    mprev = np.asarray(dec.match_prev)
+    mcurr = np.asarray(dec.match_curr)
+    is_end = np.asarray(dec.is_end)
+    is_new = np.asarray(dec.is_new)
+    kp = np.asarray(dec.keep_prev)
+    kc = np.asarray(dec.keep_curr)
+    for i in range(N):
+        if not mp[i]:
+            assert mprev[i] == -1 and not is_end[i] and not kp[i]
+        elif kp[i]:
+            assert (mprev[i] >= 0) != is_end[i]
+            if mprev[i] >= 0:
+                assert mc[mprev[i]] and kc[mprev[i]]
+                assert mcurr[mprev[i]] == i
+        else:
+            assert mprev[i] == -1 and not is_end[i]
+    for j in range(N):
+        if not mc[j]:
+            assert mcurr[j] == -1 and not is_new[j] and not kc[j]
+        elif kc[j]:
+            assert (mcurr[j] >= 0) != is_new[j]
+        else:
+            assert mcurr[j] == -1 and not is_new[j]
+
+
+def test_det_reduction_exact(rng):
+    """LAP folding of the y_det ILP == explicit y_det MILP (objective)."""
+    for inst in det_instances(rng):
+        link, new, end, mp, mc, dp, dc = inst
+        o_ilp = _obj_det(solve_ilp_oracle(link, new, end, mp, mc,
+                                          det_prev=dp, det_curr=dc), inst)
+        dec = solve_lap_oracle(link, new, end, mp, mc,
+                               det_prev=dp, det_curr=dc)
+        check_valid_det(dec, mp, mc)
+        assert _obj_det(dec, inst) == pytest.approx(o_ilp, abs=1e-4)
+
+
+def test_det_auction_exact(rng):
+    """In-graph auction matches the y_det MILP oracle."""
+    solve = jax.jit(lambda *a, **k: solve_auction(*a, **k))
+    for inst in det_instances(rng):
+        link, new, end, mp, mc, dp, dc = inst
+        o_ilp = _obj_det(solve_ilp_oracle(link, new, end, mp, mc,
+                                          det_prev=dp, det_curr=dc), inst)
+        dec = solve(*[jnp.asarray(x) for x in inst[:5]],
+                    det_prev=jnp.asarray(dp), det_curr=jnp.asarray(dc))
+        check_valid_det(dec, mp, mc)
+        assert _obj_det(dec, inst) == pytest.approx(o_ilp, abs=1e-3)
+
+
+def test_det_rejection_happens(rng):
+    """A strongly negative det score forces rejection."""
+    full = np.ones(N, bool)
+    link = np.full((N, N), 0.1, np.float32)
+    new = np.full(N, 0.5, np.float32)
+    end = np.full(N, 0.5, np.float32)
+    det_c = np.full(N, 0.8, np.float32)
+    det_c[3] = -10.0                      # obvious false positive
+    det_p = np.full(N, 0.8, np.float32)
+    dec = solve_auction(*[jnp.asarray(x) for x in
+                          (link, new, end, full, full)],
+                        det_prev=jnp.asarray(det_p),
+                        det_curr=jnp.asarray(det_c))
+    assert not bool(dec.keep_curr[3])
+    assert not bool(dec.is_new[3]) and int(dec.match_curr[3]) == -1
+    # Everyone else is accepted.
+    assert int(jnp.sum(dec.keep_curr)) == N - 1
+
+
+def test_without_det_scores_keep_equals_mask(rng):
+    for inst in instances(rng):
+        dec = _j_auction(*[jnp.asarray(x) for x in inst])
+        np.testing.assert_array_equal(np.asarray(dec.keep_prev), inst[3])
+        np.testing.assert_array_equal(np.asarray(dec.keep_curr), inst[4])
+
+
 def test_link_threshold_forbids_weak_links(rng):
     """associate() with link_threshold rejects sub-threshold links."""
     from mmmot_tpu.assoc import associate

@@ -108,3 +108,13 @@ def test_sequence_scan_consistency():
     # Valid slots have ids, padded slots are -1.
     assert (ids[:, 3:] == -1).all()
     assert (ids[:, :3] >= 0).all()
+
+    # With LP det-confidence rejection enabled, the scan still runs and
+    # padded slots stay -1 (rejected dets would also emit -1).
+    module_det = TrackingModule(net, vars_, AssocConfig(
+        solver="auction", use_det_scores=True))
+    out2 = jax.jit(lambda c, p, pm, dm: track_sequence(
+        module_det, c, p, pm, dm))(crops, points,
+                                   jnp.ones((T, Ns, P), bool), det_mask)
+    ids2 = np.asarray(out2["ids"])
+    assert (ids2[:, 3:] == -1).all()
