@@ -46,6 +46,23 @@ def convert_linear_weight(w) -> np.ndarray:
     return np.transpose(_to_np(w), (1, 0))
 
 
+def convert_conv1x1_weight(w) -> np.ndarray:
+    """torch 1x1 Conv{1,2}d [O, I, 1(, 1)] -> flax Dense [I, O].
+
+    The reference uses 1x1 convs as pointwise linear maps (skip-pool
+    reducers, affinity heads over the correlation volume); this rebuild
+    expresses those as Dense over the feature axis.
+    """
+    w = _to_np(w)
+    if w.ndim == 4 and w.shape[2:] == (1, 1):
+        w = w[..., 0, 0]
+    elif w.ndim == 3 and w.shape[-1] == 1:
+        w = w[..., 0]
+    elif w.ndim != 2:
+        raise ValueError(f"not a 1x1 conv weight: shape {w.shape}")
+    return np.transpose(w, (1, 0))
+
+
 def convert_bn(prefix: str, sd: Mapping[str, Any]
                ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """BN params+stats from a torch state-dict prefix."""
@@ -127,8 +144,9 @@ def torch_to_flax(state_dict: Mapping[str, Any],
                      ("weight", "bias", "running_mean", "running_var",
                       "num_batches_tracked")}
         else:
-            conv = convert_conv_weight if k == "conv" else \
-                convert_linear_weight
+            conv = {"conv": convert_conv_weight,
+                    "conv1x1": convert_conv1x1_weight,
+                    "linear": convert_linear_weight}[k]
             _set_path(params, fpath + ("kernel",), conv(state_dict[wkey]))
             used.add(wkey)
             bkey = f"{tname}.bias"

@@ -13,6 +13,12 @@ detection slots"):
 3. multiple sequences batch with ``vmap`` and shard over the device mesh's
    data axis (see ``mmmot_tpu.parallel``) — embarrassingly parallel.
 
+The raw-frames path is **compact-first**: valid (frame, slot) pairs are
+gathered into a dense list *before* any per-detection work, so the crop
+resize matmuls and the conv stack only ever run on real detections (KITTI
+frames average ~10 valid of N padded slots — compaction is a >2x FLOP cut
+at the faithful crop-224 scale).
+
 Padding frames beyond a sequence's true length carry an all-false det mask,
 which naturally produces no detections/IDs and leaves the state unchanged
 except ages; emitted IDs for invalid slots are -1.
@@ -28,55 +34,24 @@ import jax.numpy as jnp
 from mmmot_tpu.tracker.tracker import TrackingModule
 
 
-def _compact_extract(module: TrackingModule, crops, points, point_mask,
-                     det_mask, capacity: int,
-                     extract_chunk: int | None = None):
-    """Feature-extract only the valid detection slots.
+def _compact_indices(det_mask, capacity: int):
+    """Valid-first stable ordering of the flattened [T*N] slot grid.
 
-    Padded slots waste conv FLOPs (KITTI frames average ~10 valid of N
-    padded slots).  This gathers the valid (frame, slot) pairs into a dense
-    batch of static size ``capacity``, runs the extractor once, and
-    scatters embeddings back to [T, N, D].  If more than ``capacity`` slots
-    are valid, the overflow detections are dropped (their det_mask entry is
-    cleared in the returned mask) — size capacity generously.
+    Returns (idx [capacity] int32 — flat indices, valid slots first in
+    (frame, slot) order; taken [capacity] bool — whether idx[k] is valid).
     """
     T, N = det_mask.shape
     flat = det_mask.reshape(-1)
-    # Stable valid-first ordering.
     order_score = flat.astype(jnp.int32) * (T * N + 1) - \
         jax.lax.broadcasted_iota(jnp.int32, (T * N, 1), 0)[:, 0]
     _, idx = jax.lax.top_k(order_score, capacity)
     taken = flat[idx]
+    return idx.astype(jnp.int32), taken
 
-    c = (crops.reshape((T * N,) + crops.shape[2:])[idx]
-         if crops is not None else None)
-    p = (points.reshape((T * N,) + points.shape[2:])[idx]
-         if points is not None else None)
-    pm = (point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
-          if point_mask is not None else None)
-    if extract_chunk and capacity > extract_chunk:
-        # Bound conv-stage activation memory: run the extractor over chunks
-        # sequentially (lax.map -> scan); eval-mode BN is per-element so
-        # chunking is exact.
-        if capacity % extract_chunk:
-            raise ValueError(f"capacity {capacity} not divisible by "
-                             f"extract_chunk {extract_chunk}")
-        nch = capacity // extract_chunk
 
-        def resh(x):
-            return (None if x is None
-                    else x.reshape((nch, extract_chunk) + x.shape[1:]))
-
-        def ex(args):
-            c_, p_, pm_, m_ = args
-            return module.extract(c_, p_, pm_, m_)
-
-        feats_c = jax.lax.map(ex, (resh(c), resh(p), resh(pm), resh(taken)))
-        feats_c = {k: v.reshape((capacity,) + v.shape[2:])
-                   for k, v in feats_c.items()}
-    else:
-        feats_c = module.extract(c, p, pm, taken)
-
+def _scatter_feats(feats_c: Dict[str, jnp.ndarray], idx, taken, T: int,
+                   N: int) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Scatter compacted [capacity, D] features back to [T, N, D]."""
     feats = {}
     for k, v in feats_c.items():
         v = v * taken[:, None].astype(v.dtype)
@@ -86,29 +61,61 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
     return feats, kept.reshape(T, N)
 
 
-def track_sequence(module: TrackingModule, crops, points, point_mask,
-                   det_mask, compact_capacity: int | None = None,
-                   extract_chunk: int | None = None
-                   ) -> Dict[str, jnp.ndarray]:
-    """Track one sequence of ``T`` frames of padded detections.
+def _chunked(fn, args, capacity: int, chunk: int | None):
+    """Run ``fn`` over ``args`` (leading axis = capacity) in chunks.
 
-    crops [T, N, H, W, 3] (or None), points [T, N, P, C] (or None),
-    point_mask [T, N, P], det_mask [T, N].  Returns {"ids": [T, N] int32}.
-
-    ``compact_capacity``: if set, feature extraction runs only on valid
-    slots via :func:`_compact_extract` (big conv-FLOP saving at KITTI
-    densities); must be >= the max number of valid slots in the sequence.
+    Bounds peak activation memory: the conv stack only ever sees ``chunk``
+    detections at once (eval-mode BN is per-element, so chunking is exact).
     """
-    T, N = det_mask.shape[:2]
-    if compact_capacity is not None:
-        feats, det_mask = _compact_extract(module, crops, points,
-                                           point_mask, det_mask,
-                                           compact_capacity,
-                                           extract_chunk=extract_chunk)
-    else:
-        # One batched feature pass over every (frame, slot).
-        feats = module.extract(crops, points, point_mask, det_mask)
+    if not chunk or capacity <= chunk:
+        return fn(args)
+    if capacity % chunk:
+        raise ValueError(f"capacity {capacity} not divisible by "
+                         f"chunk {chunk}")
+    nch = capacity // chunk
 
+    def resh(x):
+        return (None if x is None
+                else x.reshape((nch, chunk) + x.shape[1:]))
+
+    out = jax.lax.map(fn, jax.tree.map(resh, args,
+                                       is_leaf=lambda x: x is None))
+    return {k: v.reshape((capacity,) + v.shape[2:]) for k, v in out.items()}
+
+
+def _compact_extract(module: TrackingModule, crops, points, point_mask,
+                     det_mask, capacity: int,
+                     extract_chunk: int | None = None):
+    """Feature-extract only the valid detection slots of padded crops.
+
+    Used when crops are already materialised ([T, N, h, w, 3]).  The
+    raw-frames pipeline uses the compact-first path instead (crops are never
+    materialised for invalid slots).  If more than ``capacity`` slots are
+    valid, the overflow detections are dropped (their det_mask entry is
+    cleared in the returned mask) — size capacity generously.
+    """
+    T, N = det_mask.shape
+    idx, taken = _compact_indices(det_mask, capacity)
+
+    c = (crops.reshape((T * N,) + crops.shape[2:])[idx]
+         if crops is not None else None)
+    p = (points.reshape((T * N,) + points.shape[2:])[idx]
+         if points is not None else None)
+    pm = (point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
+          if point_mask is not None else None)
+
+    def ex(args):
+        c_, p_, pm_, m_ = args
+        return module.extract(c_, p_, pm_, m_)
+
+    feats_c = _chunked(ex, (c, p, pm, taken), capacity, extract_chunk)
+    return _scatter_feats(feats_c, idx, taken, T, N)
+
+
+def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
+                det_mask) -> Dict[str, jnp.ndarray]:
+    """The sequential part: scan association/ID bookkeeping over frames."""
+    N = det_mask.shape[-1]
     state0 = module.init_state(N)
     cdtype = feats["fused"].dtype
     state0 = state0._replace(
@@ -124,13 +131,44 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     return {"ids": ids, "det_score": det_score}
 
 
+def track_sequence(module: TrackingModule, crops, points, point_mask,
+                   det_mask, compact_capacity: int | None = None,
+                   extract_chunk: int | None = None
+                   ) -> Dict[str, jnp.ndarray]:
+    """Track one sequence of ``T`` frames of padded detections.
+
+    crops [T, N, H, W, 3] (or None), points [T, N, P, C] (or None),
+    point_mask [T, N, P], det_mask [T, N].  Returns {"ids": [T, N] int32,
+    "det_score": [T, N], "n_dropped": scalar int32} — ``n_dropped`` counts
+    valid detections discarded because ``compact_capacity`` was too small
+    (always 0 when compaction is off; assert on it upstream).
+
+    ``compact_capacity``: if set, feature extraction runs only on valid
+    slots via :func:`_compact_extract` (big conv-FLOP saving at KITTI
+    densities); must be >= the max number of valid slots in the sequence.
+    """
+    n_valid = jnp.sum(det_mask.astype(jnp.int32))
+    if compact_capacity is not None:
+        feats, det_mask = _compact_extract(module, crops, points,
+                                           point_mask, det_mask,
+                                           compact_capacity,
+                                           extract_chunk=extract_chunk)
+    else:
+        # One batched feature pass over every (frame, slot).
+        feats = module.extract(crops, points, point_mask, det_mask)
+    out = _scan_track(module, feats, det_mask)
+    out["n_dropped"] = n_valid - jnp.sum(det_mask.astype(jnp.int32))
+    return out
+
+
 def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                boxes, det_mask, proj,
                                crop_size: Tuple[int, int],
                                points_per_det: int,
                                cloud_valid=None,
                                compact_capacity: int | None = None,
-                               extract_chunk: int | None = None
+                               extract_chunk: int | None = None,
+                               crop_window: int = 512
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -140,22 +178,50 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
     in-graph (ops/crop_resize.py, ops/frustum.py) — the reference does this
     on the host per detection (utils/data_util.py, point_cloud/), which is
     exactly the host round-trip the TPU pipeline eliminates.
+
+    With ``compact_capacity`` set this is the **compact-first** pipeline:
+    valid detections are gathered up front and the crop-resize matmuls, the
+    window slicing, and the conv stack all run on exactly ``capacity``
+    detections (chunked by ``extract_chunk`` to bound activation memory).
     """
     from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           crop_and_resize_gathered,
                                            normalize_crops)
     from mmmot_tpu.ops.frustum import frustum_sample_batched
 
-    crops = crop_and_resize_batched(
-        images.astype(jnp.float32), boxes, crop_size, det_mask,
-        method="mxu")
     scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
-    crops = normalize_crops(crops, scale=scale)
     points, point_mask = frustum_sample_batched(
         clouds, boxes, proj, points_per_det, det_mask=det_mask,
         point_valid=cloud_valid)
-    return track_sequence(module, crops, points, point_mask, det_mask,
-                          compact_capacity=compact_capacity,
-                          extract_chunk=extract_chunk)
+
+    if compact_capacity is None:
+        crops = crop_and_resize_batched(
+            images.astype(jnp.float32), boxes, crop_size, det_mask,
+            method="mxu")
+        crops = normalize_crops(crops, scale=scale)
+        return track_sequence(module, crops, points, point_mask, det_mask)
+
+    T, N = det_mask.shape
+    n_valid = jnp.sum(det_mask.astype(jnp.int32))
+    idx, taken = _compact_indices(det_mask, compact_capacity)
+    tsel = idx // N
+    boxes_c = boxes.reshape(T * N, 4)[idx]
+    pts_c = points.reshape((T * N,) + points.shape[2:])[idx]
+    pm_c = point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
+
+    def ex(args):
+        ts_k, bx_k, p_k, pm_k, m_k = args
+        crops_k = crop_and_resize_gathered(
+            images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
+        crops_k = normalize_crops(crops_k, scale=scale)
+        return module.extract(crops_k, p_k, pm_k, m_k)
+
+    feats_c = _chunked(ex, (tsel, boxes_c, pts_c, pm_c, taken),
+                       compact_capacity, extract_chunk)
+    feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
+    out = _scan_track(module, feats, kept)
+    out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))
+    return out
 
 
 def track_sequences_batched(module: TrackingModule, crops, points,
@@ -179,7 +245,8 @@ def track_sequences_from_frames_batched(module: TrackingModule, images,
                                         crop_size: Tuple[int, int],
                                         points_per_det: int,
                                         compact_capacity: int | None = None,
-                                        extract_chunk: int | None = None
+                                        extract_chunk: int | None = None,
+                                        crop_window: int = 512
                                         ) -> Dict[str, jnp.ndarray]:
     """Batched raw-frame tracking: leading [S] sequence axis on all inputs.
 
@@ -189,6 +256,7 @@ def track_sequences_from_frames_batched(module: TrackingModule, images,
     def one(im, cl, bx, dm):
         return track_sequence_from_frames(
             module, im, cl, bx, dm, proj, crop_size, points_per_det,
-            compact_capacity=compact_capacity, extract_chunk=extract_chunk)
+            compact_capacity=compact_capacity, extract_chunk=extract_chunk,
+            crop_window=crop_window)
 
     return jax.vmap(one)(images, clouds, boxes, det_mask)

@@ -129,3 +129,37 @@ def test_frustum_batched(rng):
         clouds, boxes, jnp.asarray(proj))
     assert samp.shape == (2, 3, 32, 4)
     assert mask.shape == (2, 3, 32)
+
+
+def test_gathered_crop_matches_mxu(img):
+    """Compact-first gathered crop == per-slot MXU crop on valid slots."""
+    from mmmot_tpu.ops.crop_resize import crop_and_resize_gathered
+
+    T = 3
+    imgs = np.stack([img, img * 0.5, img[::-1].copy()])
+    boxes = np.array([[10.5, 5.2, 42.7, 30.9], [2, 2, 70, 55],
+                      [30, 20, 60, 50]], np.float32)
+    frame_idx = np.array([0, 2, 1], np.int32)
+    g = np.asarray(jax.jit(lambda i, f, b: crop_and_resize_gathered(
+        i, f, b, (16, 16), window=W))(
+        jnp.asarray(imgs), jnp.asarray(frame_idx), jnp.asarray(boxes)))
+    for k in range(3):
+        ref = np.asarray(jax.jit(lambda i, b: crop_and_resize_batched(
+            i[None], b[None], (16, 16), method="mxu"))(
+            jnp.asarray(imgs[frame_idx[k]]), jnp.asarray(boxes[k:k + 1])))
+        assert np.abs(g[k] - ref[0, 0]).max() < 2.0, k
+
+
+def test_gathered_crop_window_narrower_than_frame(img):
+    """A window narrower than the frame still crops boxes inside it."""
+    from mmmot_tpu.ops.crop_resize import crop_and_resize_gathered
+
+    imgs = img[None]
+    boxes = np.array([[30, 10, 55, 40]], np.float32)   # 25px wide box
+    full = np.asarray(jax.jit(lambda i, f, b: crop_and_resize_gathered(
+        i, f, b, (8, 8), window=W))(
+        jnp.asarray(imgs), jnp.zeros(1, jnp.int32), jnp.asarray(boxes)))
+    win = np.asarray(jax.jit(lambda i, f, b: crop_and_resize_gathered(
+        i, f, b, (8, 8), window=40))(
+        jnp.asarray(imgs), jnp.zeros(1, jnp.int32), jnp.asarray(boxes)))
+    assert np.abs(full - win).max() < 2.0

@@ -118,3 +118,61 @@ def test_sequence_scan_consistency():
                                    jnp.ones((T, Ns, P), bool), det_mask)
     ids2 = np.asarray(out2["ids"])
     assert (ids2[:, 3:] == -1).all()
+
+
+def test_compact_first_raw_frames_matches_uncompacted():
+    """Compact-first pipeline == per-slot pipeline (same ids, 0 dropped)."""
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence_from_frames
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="A", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    T, Ns, P, H, W = 3, 4, 8, 48, 96
+    key = jax.random.PRNGKey(1)
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        key, batch)
+    module = TrackingModule(net, vars_, AssocConfig(solver="auction"))
+
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.integers(0, 255, (T, H, W, 3)), jnp.uint8)
+    clouds = np.zeros((T, 64, 4), np.float32)
+    clouds[..., 0] = rng.uniform(-10, 10, (T, 64))
+    clouds[..., 1] = rng.uniform(-2, 2, (T, 64))
+    clouds[..., 2] = rng.uniform(2, 30, (T, 64))
+    clouds = jnp.asarray(clouds)
+    proj = jnp.asarray([[50.0, 0, W / 2, 0], [0, 50.0, H / 2, 0],
+                        [0, 0, 1, 0]], jnp.float32)
+    boxes = jnp.asarray(rng.uniform(5, 40, (T, Ns, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 20.0)
+    det_mask = jnp.zeros((T, Ns), bool).at[:, :3].set(True)
+
+    run = lambda cap, chunk: jax.jit(
+        lambda im, cl, bx, dm: track_sequence_from_frames(
+            module, im, cl, bx, dm, proj, (32, 32), P,
+            compact_capacity=cap, extract_chunk=chunk, crop_window=64))(
+        images, clouds, boxes, det_mask)
+
+    plain = run(None, None)
+    compact = run(12, 4)
+    assert int(compact["n_dropped"]) == 0
+    np.testing.assert_array_equal(np.asarray(plain["ids"]),
+                                  np.asarray(compact["ids"]))
+
+    # Under-sized capacity drops detections and reports the count.
+    small = run(4, 4)
+    assert int(small["n_dropped"]) == int(det_mask.sum()) - 4
