@@ -1,49 +1,48 @@
 """Benchmark: KITTI-scale tracking throughput on one chip.
 
 Runs the flagship streaming pipeline end-to-end from RAW frames:
-on-device per-detection crop extraction + frustum point sampling (fused XLA
-preprocessing), VGG16-bn skip-pool appearance + PointNet features, attention
-fusion, affinity/new/end heads, and in-graph auction association — the whole
-sequence batch is one compiled program with no host round-trips.
+compact-first on-device per-detection crop extraction + frustum point
+sampling (fused XLA preprocessing), VGG16-bn skip-pool appearance + PointNet
+features, attention fusion, affinity/new/end heads, and in-graph auction
+association — the whole sequence batch is one compiled program with no host
+round-trips.
 
 Workload: S sequences x T frames of full camera frames (uint8, KITTI-sized),
 LiDAR clouds of M points, N padded detection slots with KITTI-like valid
-density.  ``vs_baseline`` compares against the reference's ~50 FPS
-single-GPU online tracker (KITTI leaderboard runtime ~0.02 s/frame,
-BASELINE.md).
+density.  The default operating point is the REFERENCE-FAITHFUL scale (crop
+224, point_len 512 — SURVEY.md §2.5/§2.6); override via env for experiments.
+``vs_baseline`` compares against the reference's ~50 FPS single-GPU online
+tracker (KITTI leaderboard runtime ~0.02 s/frame, BASELINE.md).
 
-Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
-import os
-
 # Workload shape (KITTI-like); overridable for experiments via env.
 S = int(os.environ.get("MMMOT_BENCH_S", 8))
 T = int(os.environ.get("MMMOT_BENCH_T", 32))
 N = int(os.environ.get("MMMOT_BENCH_N", 32))
-P = int(os.environ.get("MMMOT_BENCH_P", 256))
+P = int(os.environ.get("MMMOT_BENCH_P", 512))
 H, W, M = 384, 1248, 16384
-CROP = int(os.environ.get("MMMOT_BENCH_CROP", 112))
-COMPACT = T * 20   # valid-slot compaction capacity (>= max dets/frame * T)
-# Chunk the conv stage so S*COMPACT crops don't blow HBM (S*CHUNK crops per
-# conv step; S=8 x 320 = 2560 fits; unchunked S=8 x 640 OOMs).
-CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 320)) or None
+CROP = int(os.environ.get("MMMOT_BENCH_CROP", 224))
+# Chunk the crop+conv stage so activations stay in HBM comfortably
+# (S*CHUNK crops per conv step).
+CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 64)) or None
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from mmmot_tpu.config import AssocConfig
     from mmmot_tpu.configs import flagship
     from mmmot_tpu.models import model_entry
     from mmmot_tpu.tracker import (TrackingModule,
@@ -78,6 +77,13 @@ def main():
         [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
         axis=-1).astype(np.float32))
 
+    # Compaction capacity: sized from the actual workload (known at pack
+    # time for real KITTI too), rounded up to a chunk multiple + headroom.
+    chunk = CHUNK or 64
+    max_valid = int(det_counts.sum(axis=1).max())
+    compact = int(np.ceil((max_valid + chunk) / chunk) * chunk)
+    compact = int(os.environ.get("MMMOT_BENCH_COMPACT", compact))
+
     # Init params on a small dummy batch (shapes of crops/points only).
     dummy = {
         "crops": jnp.zeros((1, 2, 2, CROP, CROP, 3), jnp.float32),
@@ -92,9 +98,11 @@ def main():
     module = TrackingModule(net, variables, cfg.assoc)
     f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
         module, im, cl, bx, dm, proj, (CROP, CROP), P,
-        compact_capacity=COMPACT, extract_chunk=CHUNK))
+        compact_capacity=compact, extract_chunk=CHUNK))
 
     out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
+    dropped = int(np.asarray(out["n_dropped"]).sum())
+    assert dropped == 0, f"{dropped} detections dropped; raise COMPACT"
 
     n_runs = 3
     t0 = time.perf_counter()
@@ -108,6 +116,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
+                   "compact": compact, "chunk": CHUNK,
+                   "dropped_dets": dropped},
     }))
 
 
