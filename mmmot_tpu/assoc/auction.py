@@ -5,13 +5,25 @@ tracking_model.py ILP; SURVEY.md §3.2) with an in-graph solver that jits,
 vmaps and scans, so whole sequences stream through the TPU without per-frame
 host round-trips.
 
-Algorithm: forward auction (Bertsekas) with epsilon scaling on the square
-2Nx2N perfect-matching reduction from ``cost.py`` — Jacobi variant: every
-unassigned row bids simultaneously, each contested column accepts the single
-highest bid per round.  Prices rise by at least ``eps`` per accepted bid, so
-each phase terminates; the final matching is optimal within ``M * eps_final``,
-which for ``eps_final`` below the smallest score gap makes the *decisions*
-exact (verified against the host ILP oracle in tests/test_assoc_parity.py).
+Algorithm: **integer** forward auction (Bertsekas) with epsilon scaling on
+the square 2Nx2N perfect-matching reduction from ``cost.py`` — Jacobi
+variant: every unassigned row bids simultaneously, each contested column
+accepts the single highest bid per round.  Costs are quantized onto an
+integer grid scaled by ``M + 1`` (the standard integer-auction construction)
+and the eps schedule ends at eps = 1, so:
+
+* every arithmetic step is exact in int32 (floating-point auctions stall
+  when ``eps`` drops below one ulp of the price magnitude — bids stop
+  moving prices and unassigned rows cycle forever; measured at N=64 with
+  f32 and eps=1e-6);
+* prices rise by >= 1 per accepted bid, so termination is guaranteed;
+* the final matching is *provably optimal for the quantized costs*
+  (objective within M < M+1 of the scaled optimum implies exact for
+  integers).  Quantization resolution is span / 2^quant_bits — far finer
+  than bf16 score precision — and the parity suite checks objective
+  equality against exact host oracles at KITTI scale (N=64) on random,
+  adversarial near-tie, and bf16-quantized instances
+  (tests/test_assoc_stress.py).
 
 Note on formulation: the tracking ILP also reduces to a *partial* matching on
 ``gain[i,j] = link - end_i - new_j`` with outside option 0 (used by the
@@ -23,14 +35,16 @@ so the exact path pays for the full square reduction instead.
 
 from __future__ import annotations
 
+import math
 from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from mmmot_tpu.assoc.cost import (NEG, Decisions, build_assignment_cost,
                                   decode_assignment)
 
-_BIG_NEG = -1e9
+_BIG_NEG = -(2 ** 30)          # forbidden / sentinel for int32 scores
 
 
 def build_gain_matrix(link, new, end, mask_prev, mask_curr,
@@ -56,26 +70,37 @@ def build_gain_matrix(link, new, end, mask_prev, mask_curr,
     return jnp.where(pair_ok, gain, NEG)
 
 
-def _auction_all_phases(cost, eps_start, eps_final, scale: float,
-                        max_iters):
-    """All epsilon-scaling phases in ONE while_loop.
+def _auction_all_phases(cost, eps_start, scale_div: int, max_iters,
+                        bid_cap):
+    """All epsilon-scaling phases in ONE while_loop (int32 arithmetic).
 
-    The carry holds the current eps; when a phase converges (all rows
-    assigned) the loop divides eps, resets the assignment and keeps prices
-    (standard warm start).  A single loop instance compiles ~4x faster than
-    unrolled per-phase loops on TPU.
+    ``cost`` is int32 (the quantized score matrix).  The carry holds the
+    current integer eps; when a phase converges (all rows assigned) the
+    loop divides eps by ``scale_div`` (floored at 1), resets the assignment
+    and keeps prices (standard warm start).  A single loop instance
+    compiles ~4x faster than unrolled per-phase loops on TPU.
+
+    ``bid_cap`` bounds the margin term of each bid (the ``+ eps`` is added
+    on top).  A row whose only allowed column makes ``second_v`` the
+    _BIG_NEG sentinel would otherwise bid ~2^30; across phase resets those
+    mega-bids escalate prices past int32 and wrap around, livelocking the
+    final phase (observed at N=64: exactly one row stuck forever).  Capping keeps
+    eps-CS intact — the winner's value after a capped bid is *above* the
+    ``second - eps`` requirement — and bids stay >= eps, so termination
+    and exactness are unaffected.
     """
     M = cost.shape[0]
+    one = jnp.int32(1)
+    bid_cap = jnp.int32(bid_cap)
 
     def cond(state):
         assign, owner, prices, eps, it = state
-        unfinished = jnp.logical_or(jnp.any(assign < 0),
-                                    eps > eps_final * 1.001)
+        unfinished = jnp.logical_or(jnp.any(assign < 0), eps > one)
         return jnp.logical_and(unfinished, it < max_iters)
 
     def phase_done(state):
         assign, owner, prices, eps, it = state
-        new_eps = jnp.maximum(eps * scale, eps_final)
+        new_eps = jnp.maximum(eps // scale_div, one)
         assign0 = jnp.full((M,), -1, jnp.int32)
         owner0 = jnp.full((M,), -1, jnp.int32)
         return assign0, owner0, prices, new_eps, it + 1
@@ -95,12 +120,12 @@ def _auction_all_phases(cost, eps_start, eps_final, scale: float,
         rows = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
         is_best = cols == best_j[:, None]
         second_v = jnp.max(jnp.where(is_best, _BIG_NEG, v), axis=1)
-        bid = best_v - second_v + eps
+        bid = jnp.minimum(best_v - second_v, bid_cap) + eps
 
         bids = jnp.where(active[:, None] & is_best, bid[:, None], _BIG_NEG)
         win_bid = jnp.max(bids, axis=0)
         win_row = jnp.argmax(bids, axis=0).astype(jnp.int32)
-        contested = win_bid > _BIG_NEG / 2
+        contested = win_bid > _BIG_NEG // 2
 
         prices = jnp.where(contested, prices + win_bid, prices)
         # Row i wins column j iff j is contested and win_row[j] == i.
@@ -118,7 +143,7 @@ def _auction_all_phases(cost, eps_start, eps_final, scale: float,
 
     assign0 = jnp.full((M,), -1, jnp.int32)
     owner0 = jnp.full((M,), -1, jnp.int32)
-    prices0 = jnp.zeros((M,), cost.dtype)
+    prices0 = jnp.zeros((M,), jnp.int32)
     out = jax.lax.while_loop(
         cond, body, (assign0, owner0, prices0, eps_start, jnp.int32(0)))
     return out[0], out[1], out[2]
@@ -144,27 +169,50 @@ def _complete_matching(cost, assign, owner):
     return jax.lax.fori_loop(0, M, body, (assign, owner))
 
 
-@partial(jax.jit, static_argnames=("scaling_steps", "max_iters"))
+@partial(jax.jit, static_argnames=("scaling_steps", "max_iters",
+                                   "quant_bits", "with_info"))
 def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
-                scaling_steps: int = 4, max_iters: int = 16000):
-    """Max-weight perfect matching on square ``cost`` [M, M].
+                scaling_steps: int = 8, max_iters: int = 100000,
+                quant_bits: int = 18, with_info: bool = False):
+    """Max-weight perfect matching on square ``cost`` [M, M] (float scores).
 
-    Returns ``row_to_col`` int32 [M].  Epsilon scaling runs geometrically
-    decreasing eps (span/4 -> eps) inside one while_loop; prices warm-start
-    across phases, assignments reset (standard epsilon scaling).
-    ``scaling_steps`` controls the per-phase eps division factor.
+    Returns ``row_to_col`` int32 [M] (with ``with_info``, also the number
+    of rows left unassigned when the eps-scaling loop stopped — 0 whenever
+    the solver converged; the greedy completion only fires otherwise).
+
+    Costs are quantized to ``2^quant_bits`` levels across their span and
+    scaled by ``M + 1`` (integer-auction construction): the result is the
+    exact optimum of the quantized problem, and quantization error on the
+    objective is bounded by ``M * span / 2^quant_bits``.  ``scaling_steps``
+    sets how many eps-scaling phases cover the span (division factor is
+    derived); ``eps`` is kept for API compatibility and ignored (the
+    integer schedule always ends at eps = 1).
     """
+    del eps  # integer schedule always ends at eps = 1 (exact)
+    M = cost.shape[0]
     allowed = cost > NEG / 2
-    cmax = jnp.max(jnp.where(allowed, cost, 0.0))
-    cmin = jnp.min(jnp.where(allowed, cost, cmax))
-    span = jnp.maximum(cmax - cmin, 1e-6)
-    eps_start = jnp.maximum(span / 4.0, eps).astype(cost.dtype)
-    # Division factor so ~scaling_steps phases reach eps from span/4.
-    ratio = jnp.maximum(eps / eps_start, 1e-12)
-    scale = jnp.exp(jnp.log(ratio) / max(scaling_steps - 1, 1))
+    cost = cost.astype(jnp.float32)
+    cmax = jnp.max(jnp.where(allowed, cost, -jnp.inf))
+    cmin = jnp.min(jnp.where(allowed, cost, jnp.inf))
+    span = jnp.maximum(cmax - cmin, 1e-12)
+    K = jnp.float32(2 ** quant_bits)
+    ci = jnp.round((cost - cmin) / span * K).astype(jnp.int32) * (M + 1)
+    ci = jnp.where(allowed, ci, _BIG_NEG)
+
+    # eps schedule: start at scaled-span/4, divide by a factor sized so
+    # ~scaling_steps phases reach 1.
+    start = (2 ** quant_bits) * (M + 1) // 4
+    scale_div = max(2, int(math.ceil(start ** (1.0 / max(scaling_steps,
+                                                         1)))))
+    # Bid margins never need to exceed the full cost range to see off every
+    # competitor (their values differ by at most the span).
+    bid_cap = (2 ** quant_bits) * (M + 1)
     assign, owner, prices = _auction_all_phases(
-        cost, eps_start, jnp.asarray(eps, cost.dtype), scale, max_iters)
-    assign, owner = _complete_matching(cost, assign, owner)
+        ci, jnp.int32(start), scale_div, max_iters, bid_cap)
+    n_unassigned = jnp.sum((assign < 0).astype(jnp.int32))
+    assign, owner = _complete_matching(ci, assign, owner)
+    if with_info:
+        return assign, n_unassigned
     return assign
 
 
@@ -202,7 +250,7 @@ def decode_matching(row_to_col, mask_prev, mask_curr, new=None, end=None,
 
 
 def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
-                  scaling_steps: int = 4, max_iters: int = 4000,
+                  scaling_steps: int = 8, max_iters: int = 100000,
                   det_prev=None, det_curr=None) -> Decisions:
     """Full pipeline: scores -> square reduction -> auction -> decisions.
 

@@ -151,7 +151,7 @@ class AssocConfig:
 
     solver: str = "auction"            # auction | sinkhorn | greedy | ilp (host oracle)
     auction_eps: float = 1e-4
-    auction_scaling_steps: int = 4
+    auction_scaling_steps: int = 8
     sinkhorn_tau: float = 0.05
     sinkhorn_iters: int = 100
     link_threshold: float = 0.0        # min link score to accept a match
