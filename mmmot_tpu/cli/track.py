@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--solver", default=None,
                    help="override association solver "
                         "(auction|sinkhorn|greedy|ilp|lap|native)")
+    p.add_argument("--window", type=int, default=64,
+                   help="streaming window (frames per compiled step); "
+                        "sequences of any length share one program")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -93,8 +96,7 @@ def main(argv=None):
     ev = TrackingEvaluation(cls="car")
 
     if os.path.isdir(cfg.data.root):
-        _track_kitti(args, cfg, module, res_dir, ev, log)
-        return
+        return _track_kitti(args, cfg, module, res_dir, ev, log)
 
     total_frames = 0
     t_total = 0.0
@@ -140,7 +142,15 @@ def main(argv=None):
 
 
 def _track_kitti(args, cfg, module, res_dir, ev, log):
-    """Real-data path: stream KITTI sequences end-to-end (eval_seq.py)."""
+    """Real-data path: stream KITTI sequences end-to-end (eval_seq.py).
+
+    Sequences of any length run through ONE compiled program: fixed-size
+    windows of ``args.window`` frames with the TrackerState carried across
+    windows (IDs continue seamlessly).  The last window of a sequence is
+    padded with all-invalid frames.  Capacity for valid-slot compaction is
+    quantized to multiples of 256 so a denser dataset costs at most a
+    couple of extra compiles, not one per sequence.
+    """
     import time
 
     import jax
@@ -155,28 +165,67 @@ def _track_kitti(args, cfg, module, res_dir, ev, log):
 
     crop = tuple(cfg.data.crop_size)
     P = cfg.data.point_len
-    total_frames, t_total = 0, 0.0
+    W = args.window
+    chunk = 64
+
+    fns = {}            # capacity -> jitted window fn (compile cache)
+
+    def window_fn(capacity):
+        if capacity not in fns:
+            fns[capacity] = jax.jit(
+                lambda im, cl, cv, bx, dm, pr, st:
+                track_sequence_from_frames(
+                    module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
+                    compact_capacity=capacity, extract_chunk=chunk,
+                    state0=st, return_state=True))
+        return fns[capacity]
+
+    total_frames, t_total, n_dropped = 0, 0.0, 0
     for i, (seq, arrs) in enumerate(load_eval_sequences(cfg.data)):
-        f = jax.jit(lambda im, cl, cv, bx, dm, pr: track_sequence_from_frames(
-            module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv))
+        T, N = arrs.det_mask.shape
+        n_windows = max(1, -(-T // W))
+        # Capacity: densest window of this sequence, rounded up to 256.
+        dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
+                   for w in range(n_windows))
+        capacity = max(256, -(-(dens + chunk) // 256) * 256)
+        f = window_fn(capacity)
+
+        state = None
+        ids = np.full((n_windows * W, N), -1, np.int32)
+        det_score = np.zeros((n_windows * W, N), np.float32)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(f(
-            jnp.asarray(arrs.images), jnp.asarray(arrs.clouds),
-            jnp.asarray(arrs.cloud_valid), jnp.asarray(arrs.boxes),
-            jnp.asarray(arrs.det_mask), jnp.asarray(arrs.proj)))
+        for w in range(n_windows):
+            sl = slice(w * W, (w + 1) * W)
+            im = np.zeros((W,) + arrs.images.shape[1:], arrs.images.dtype)
+            cl = np.zeros((W,) + arrs.clouds.shape[1:], np.float32)
+            cv = np.zeros((W,) + arrs.cloud_valid.shape[1:], bool)
+            bx = np.zeros((W, N, 4), np.float32)
+            dm = np.zeros((W, N), bool)
+            n = arrs.images[sl].shape[0]
+            im[:n] = arrs.images[sl]
+            cl[:n] = arrs.clouds[sl]
+            cv[:n] = arrs.cloud_valid[sl]
+            bx[:n] = arrs.boxes[sl]
+            dm[:n] = arrs.det_mask[sl]
+            if state is None:
+                state = module.init_state(N)
+            out, state = f(jnp.asarray(im), jnp.asarray(cl),
+                           jnp.asarray(cv), jnp.asarray(bx),
+                           jnp.asarray(dm), jnp.asarray(arrs.proj), state)
+            out = jax.block_until_ready(out)
+            ids[sl] = np.asarray(out["ids"])[:n]
+            det_score[sl] = np.asarray(out["det_score"])[:n]
+            n_dropped += int(out["n_dropped"])
         dt = time.perf_counter() - t0
-        T = arrs.det_mask.shape[0]
         if i > 0:
             total_frames += T
             t_total += dt
-        ids = np.asarray(out["ids"])
         keep = arrs.det_mask
         if args.score_threshold > 0:
-            keep = keep & (np.asarray(out["det_score"])
-                           >= args.score_threshold)
+            keep = keep & (det_score[:T] >= args.score_threshold)
         objs = []
         for t in range(T):
-            for n in range(arrs.det_mask.shape[1]):
+            for n in range(N):
                 if not keep[t, n] or ids[t, n] < 0:
                     continue
                 objs.append(KittiObject(
@@ -185,17 +234,29 @@ def _track_kitti(args, cfg, module, res_dir, ev, log):
                     score=float(arrs.scores[t, n])))
         path = os.path.join(res_dir, f"{seq}.txt")
         write_kitti_result(objs, path)
-        log.info("sequence %s: %d frames in %.2fs -> %s", seq, T, dt, path)
+        log.info("sequence %s: %d frames in %.2fs -> %s (%d programs)",
+                 seq, T, dt, path, len(fns))
         if not args.no_eval:
             gt_path = os.path.join(cfg.data.root, "label_02", f"{seq}.txt")
             if os.path.exists(gt_path):
                 ev.add_sequence(read_kitti_tracking_labels(gt_path),
                                 read_kitti_tracking_labels(path))
+    if n_dropped:
+        log.warning("%d detections dropped by compaction capacity — "
+                    "results are incomplete; raise --window density cap",
+                    n_dropped)
     if total_frames:
-        log.info("throughput: %.1f FPS (steady-state)",
-                 total_frames / max(t_total, 1e-9))
+        log.info("throughput: %.1f FPS (steady-state), %d compiled "
+                 "programs", total_frames / max(t_total, 1e-9), len(fns))
+    stats = {"n_programs": len(fns), "n_dropped": n_dropped,
+             "total_frames": total_frames}
     if not args.no_eval:
-        log.info("metrics: %s", ev.compute().summary())
+        m = ev.compute()
+        log.info("metrics: %s", m.summary())
+        with open(os.path.join(res_dir, "summary_car.txt"), "w") as fh:
+            fh.write(m.summary_text())
+        stats["metrics"] = m
+    return stats
 
 
 if __name__ == "__main__":

@@ -65,6 +65,8 @@ def intersection_over_area(det: np.ndarray, dc: np.ndarray) -> np.ndarray:
 class TrackingMetrics:
     mota: float = 0.0
     motp: float = 0.0
+    moda: float = 0.0
+    modp: float = 0.0
     recall: float = 0.0
     precision: float = 0.0
     f1: float = 0.0
@@ -79,6 +81,7 @@ class TrackingMetrics:
     fn: int = 0
     n_gt: int = 0
     n_gt_trajectories: int = 0
+    n_tracker_trajectories: int = 0
 
     def summary(self) -> str:
         return (f"MOTA {self.mota*100:6.2f}%  MOTP {self.motp*100:6.2f}%  "
@@ -86,6 +89,40 @@ class TrackingMetrics:
                 f"MT {self.mt*100:5.2f}%  ML {self.ml*100:5.2f}%  "
                 f"IDS {self.id_switches}  FRAG {self.fragments}  "
                 f"TP {self.tp}  FP {self.fp}  FN {self.fn}")
+
+    def summary_text(self) -> str:
+        """Devkit-format stats block (reference: createSummary /
+        ``summary_<class>.txt`` emission in evaluate_tracking.py)."""
+        def e(label, value, fmt="{:.6f}"):
+            v = fmt.format(value) if isinstance(value, float) else str(value)
+            return f" {label:<68}{v}\n"
+
+        s = "tracking evaluation summary:\n"
+        s += e("Multiple Object Tracking Accuracy (MOTA)", self.mota)
+        s += e("Multiple Object Tracking Precision (MOTP)", self.motp)
+        s += e("Multiple Object Detection Accuracy (MODA)", self.moda)
+        s += e("Multiple Object Detection Precision (MODP)", self.modp)
+        s += "\n"
+        s += e("Recall", self.recall)
+        s += e("Precision", self.precision)
+        s += e("F1", self.f1)
+        s += e("False Alarm Rate", self.far)
+        s += "\n"
+        s += e("Mostly Tracked", self.mt)
+        s += e("Partly Tracked", self.pt)
+        s += e("Mostly Lost", self.ml)
+        s += "\n"
+        s += e("True Positives", self.tp)
+        s += e("False Positives", self.fp)
+        s += e("Missed Targets", self.fn)
+        s += e("ID-switches", self.id_switches)
+        s += e("Fragmentations", self.fragments)
+        s += "\n"
+        s += e("Ground Truth Objects (Total)", self.n_gt)
+        s += e("Ground Truth Trajectories", self.n_gt_trajectories)
+        s += e("Tracker Trajectories", self.n_tracker_trajectories)
+        s += "=" * 80 + "\n"
+        return s
 
 
 class TrackingEvaluation:
@@ -107,6 +144,8 @@ class TrackingEvaluation:
         self.total_overlap = 0.0
         self.n_gt = 0
         self.n_frames = 0
+        self.modp_sum = 0.0
+        self.tracker_ids: set = set()
         self.seq_gt_traj: List[Dict[int, List[int]]] = []
         self.seq_gt_ignored: List[Dict[int, List[bool]]] = []
 
@@ -133,7 +172,12 @@ class TrackingEvaluation:
 
         for f in range(num_frames):
             gt_objs = gt.get(f, [])
-            trk_objs = trk.get(f, [])
+            # Tracker results are filtered to the evaluated class (devkit
+            # loadTracker keeps only the class under evaluation).
+            trk_objs = [o for o in trk.get(f, [])
+                        if o.obj_type.lower() == cls]
+            self.tracker_ids.update(
+                (len(self.seq_gt_traj), o.track_id) for o in trk_objs)
 
             gt_eval = [o for o in gt_objs if o.obj_type.lower() == cls]
             gt_ignored_cls = [o for o in gt_objs
@@ -168,6 +212,14 @@ class TrackingEvaluation:
             self.fn += len(gt_valid) - len(frame_pairs)
             self.n_gt += len(gt_valid)
             self.total_overlap += sum(p[2] for p in frame_pairs)
+            # Per-frame detection precision for MODP: mean mapped overlap;
+            # frames with nothing to map count 1.0 (perfect) when no valid
+            # GT exists, 0.0 when GT went entirely unmapped.
+            if frame_pairs:
+                self.modp_sum += sum(p[2] for p in frame_pairs) / \
+                    len(frame_pairs)
+            elif not gt_valid:
+                self.modp_sum += 1.0
 
             for r, c, _ in frame_pairs:
                 tid = gt_valid[r].track_id
@@ -234,33 +286,74 @@ class TrackingEvaluation:
         m.id_switches = ids
         m.fragments = frag
         m.n_gt_trajectories = n_traj
+        m.n_tracker_trajectories = len(self.tracker_ids)
         if n_traj:
             m.mt, m.pt, m.ml = mt / n_traj, pt / n_traj, ml / n_traj
         if self.n_gt:
             m.mota = 1.0 - (self.fn + self.fp + ids) / self.n_gt
+            m.moda = 1.0 - (self.fn + self.fp) / self.n_gt
             m.recall = self.tp / self.n_gt
         if self.tp:
             m.motp = self.total_overlap / self.tp
+        if self.n_frames:
+            m.modp = self.modp_sum / self.n_frames
+            m.far = self.fp / self.n_frames
         if self.tp + self.fp:
             m.precision = self.tp / (self.tp + self.fp)
         if m.precision + m.recall > 0:
             m.f1 = 2 * m.precision * m.recall / (m.precision + m.recall)
-        if self.n_frames:
-            m.far = self.fp / self.n_frames
         return m
 
 
 def evaluate_tracking(gt_dir: str, result_dir: str,
-                      sequences: Sequence[str], cls: str = "car"
-                      ) -> TrackingMetrics:
+                      sequences: Sequence[str], cls: str = "car",
+                      per_sequence: bool = False,
+                      summary_dir: Optional[str] = None):
     """Score result txt files against GT txt files (devkit ``evaluate``).
 
     ``gt_dir/<seq>.txt`` and ``result_dir/<seq>.txt`` per sequence.
+    With ``per_sequence`` returns ``(overall, {seq: TrackingMetrics})``;
+    with ``summary_dir`` also writes ``summary_<cls>.txt`` (devkit stats
+    block) plus ``summary_<cls>_per_sequence.txt`` there.
     """
     ev = TrackingEvaluation(cls=cls)
+    seq_metrics: Dict[str, TrackingMetrics] = {}
     for seq in sequences:
         gt = read_kitti_tracking_labels(os.path.join(gt_dir, f"{seq}.txt"))
         trk = read_kitti_tracking_labels(
             os.path.join(result_dir, f"{seq}.txt"))
         ev.add_sequence(gt, trk)
-    return ev.compute()
+        if per_sequence or summary_dir:
+            one = TrackingEvaluation(
+                cls=cls, min_overlap=ev.min_overlap,
+                max_truncation=ev.max_truncation,
+                mt_threshold=ev.mt_threshold, ml_threshold=ev.ml_threshold)
+            one.add_sequence(gt, trk)
+            seq_metrics[seq] = one.compute()
+    overall = ev.compute()
+    if summary_dir:
+        os.makedirs(summary_dir, exist_ok=True)
+        with open(os.path.join(summary_dir, f"summary_{cls}.txt"),
+                  "w") as f:
+            f.write(overall.summary_text())
+        with open(os.path.join(summary_dir,
+                               f"summary_{cls}_per_sequence.txt"),
+                  "w") as f:
+            for seq in sequences:
+                f.write(f"{seq}: {seq_metrics[seq].summary()}\n")
+    if per_sequence:
+        return overall, seq_metrics
+    return overall
+
+
+def evaluate_tracking_all_classes(gt_dir: str, result_dir: str,
+                                  sequences: Sequence[str],
+                                  classes: Sequence[str] = ("car",
+                                                            "pedestrian"),
+                                  summary_dir: Optional[str] = None
+                                  ) -> Dict[str, TrackingMetrics]:
+    """Both benchmark classes in one call (devkit evaluates car then
+    pedestrian per result sha)."""
+    return {cls: evaluate_tracking(gt_dir, result_dir, sequences, cls=cls,
+                                   summary_dir=summary_dir)
+            for cls in classes}

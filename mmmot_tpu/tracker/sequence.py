@@ -41,6 +41,7 @@ def _compact_indices(det_mask, capacity: int):
     (frame, slot) order; taken [capacity] bool — whether idx[k] is valid).
     """
     T, N = det_mask.shape
+    capacity = min(capacity, T * N)    # can't take more slots than exist
     flat = det_mask.reshape(-1)
     order_score = flat.astype(jnp.int32) * (T * N + 1) - \
         jax.lax.broadcasted_iota(jnp.int32, (T * N, 1), 0)[:, 0]
@@ -95,6 +96,7 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
     cleared in the returned mask) — size capacity generously.
     """
     T, N = det_mask.shape
+    capacity = min(capacity, T * N)
     idx, taken = _compact_indices(det_mask, capacity)
 
     c = (crops.reshape((T * N,) + crops.shape[2:])[idx]
@@ -113,10 +115,17 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
 
 
 def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
-                det_mask) -> Dict[str, jnp.ndarray]:
-    """The sequential part: scan association/ID bookkeeping over frames."""
+                det_mask, state0=None):
+    """The sequential part: scan association/ID bookkeeping over frames.
+
+    ``state0`` lets callers stream one long sequence through several
+    fixed-size windows (one compiled program regardless of sequence
+    length): pass the previous window's final state.  Returns
+    (outputs, final_state).
+    """
     N = det_mask.shape[-1]
-    state0 = module.init_state(N)
+    if state0 is None:
+        state0 = module.init_state(N)
     cdtype = feats["fused"].dtype
     state0 = state0._replace(
         feats={k: v.astype(cdtype) for k, v in state0.feats.items()})
@@ -127,8 +136,8 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         return state, (out["ids"], out["det_score"])
 
     frames = ({k: v for k, v in feats.items()}, det_mask)
-    _, (ids, det_score) = jax.lax.scan(step, state0, frames)
-    return {"ids": ids, "det_score": det_score}
+    final, (ids, det_score) = jax.lax.scan(step, state0, frames)
+    return {"ids": ids, "det_score": det_score}, final
 
 
 def track_sequence(module: TrackingModule, crops, points, point_mask,
@@ -156,7 +165,7 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     else:
         # One batched feature pass over every (frame, slot).
         feats = module.extract(crops, points, point_mask, det_mask)
-    out = _scan_track(module, feats, det_mask)
+    out, _ = _scan_track(module, feats, det_mask)
     out["n_dropped"] = n_valid - jnp.sum(det_mask.astype(jnp.int32))
     return out
 
@@ -168,7 +177,9 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                cloud_valid=None,
                                compact_capacity: int | None = None,
                                extract_chunk: int | None = None,
-                               crop_window: int = 512
+                               crop_window: int = 512,
+                               state0=None,
+                               return_state: bool = False
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -183,6 +194,10 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
     valid detections are gathered up front and the crop-resize matmuls, the
     window slicing, and the conv stack all run on exactly ``capacity``
     detections (chunked by ``extract_chunk`` to bound activation memory).
+
+    ``state0``/``return_state`` support fixed-window streaming: call with
+    the previous window's final TrackerState to continue a longer sequence
+    through one compiled program (see cli/track.py).
     """
     from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
                                            crop_and_resize_gathered,
@@ -199,28 +214,33 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
             images.astype(jnp.float32), boxes, crop_size, det_mask,
             method="mxu")
         crops = normalize_crops(crops, scale=scale)
-        return track_sequence(module, crops, points, point_mask, det_mask)
+        feats = module.extract(crops, points, point_mask, det_mask)
+        out, final = _scan_track(module, feats, det_mask, state0=state0)
+        out["n_dropped"] = jnp.int32(0)   # per-slot path never drops
+    else:
+        T, N = det_mask.shape
+        compact_capacity = min(compact_capacity, T * N)
+        n_valid = jnp.sum(det_mask.astype(jnp.int32))
+        idx, taken = _compact_indices(det_mask, compact_capacity)
+        tsel = idx // N
+        boxes_c = boxes.reshape(T * N, 4)[idx]
+        pts_c = points.reshape((T * N,) + points.shape[2:])[idx]
+        pm_c = point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
 
-    T, N = det_mask.shape
-    n_valid = jnp.sum(det_mask.astype(jnp.int32))
-    idx, taken = _compact_indices(det_mask, compact_capacity)
-    tsel = idx // N
-    boxes_c = boxes.reshape(T * N, 4)[idx]
-    pts_c = points.reshape((T * N,) + points.shape[2:])[idx]
-    pm_c = point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
+        def ex(args):
+            ts_k, bx_k, p_k, pm_k, m_k = args
+            crops_k = crop_and_resize_gathered(
+                images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
+            crops_k = normalize_crops(crops_k, scale=scale)
+            return module.extract(crops_k, p_k, pm_k, m_k)
 
-    def ex(args):
-        ts_k, bx_k, p_k, pm_k, m_k = args
-        crops_k = crop_and_resize_gathered(
-            images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
-        crops_k = normalize_crops(crops_k, scale=scale)
-        return module.extract(crops_k, p_k, pm_k, m_k)
-
-    feats_c = _chunked(ex, (tsel, boxes_c, pts_c, pm_c, taken),
-                       compact_capacity, extract_chunk)
-    feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
-    out = _scan_track(module, feats, kept)
-    out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))
+        feats_c = _chunked(ex, (tsel, boxes_c, pts_c, pm_c, taken),
+                           compact_capacity, extract_chunk)
+        feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
+        out, final = _scan_track(module, feats, kept, state0=state0)
+        out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))
+    if return_state:
+        return out, final
     return out
 
 

@@ -1,0 +1,91 @@
+"""Real-KITTI tracking CLI: windowed streaming, one program per density.
+
+VERDICT r1 item 8: the eval CLI must not recompile per sequence.  The
+fabricated tree here has two sequences of different lengths; both must run
+through the SAME compiled window program (state carried across windows),
+with oracle detections scoring MOTA 1.0.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmmot_tpu.data.kitti_io import KittiObject, write_kitti_result
+
+P2 = np.array([[50.0, 0.0, 48.0, 0.0],
+               [0.0, 50.0, 24.0, 0.0],
+               [0.0, 0.0, 1.0, 0.0]])
+
+
+def _write_calib(path):
+    with open(path, "w") as f:
+        f.write("P2: " + " ".join(str(x) for x in P2.ravel()) + "\n")
+        f.write("R_rect " + " ".join(str(x) for x in np.eye(3).ravel())
+                + "\n")
+        f.write("Tr_velo_cam " + " ".join(
+            str(x) for x in np.array([[0.0, -1, 0, 0], [0, 0, -1, 0],
+                                      [1, 0, 0, 0]]).ravel()) + "\n")
+
+
+@pytest.fixture
+def kitti_tree(tmp_path):
+    from PIL import Image
+
+    root = str(tmp_path / "kitti")
+    rng = np.random.default_rng(0)
+    for seq, T in (("0000", 5), ("0001", 3)):
+        for sub in (f"image_02/{seq}", f"velodyne/{seq}"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
+        os.makedirs(os.path.join(root, "calib"), exist_ok=True)
+        objs = []
+        for t in range(T):
+            img = rng.integers(0, 255, (48, 96, 3)).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, f"image_02/{seq}/{t:06d}.png"))
+            pc = np.zeros((64, 4), np.float32)
+            pc[:, 0] = rng.uniform(5, 30, 64)
+            pc[:, 1] = rng.uniform(-5, 5, 64)
+            pc[:, 2] = rng.uniform(-1, 1, 64)
+            pc.tofile(os.path.join(root, f"velodyne/{seq}/{t:06d}.bin"))
+            objs.append(KittiObject(frame=t, track_id=1, obj_type="Car",
+                                    bbox=np.array([10, 10, 40, 40.0])))
+            objs.append(KittiObject(frame=t, track_id=2, obj_type="Car",
+                                    bbox=np.array([50, 8, 80, 38.0])))
+        write_kitti_result(objs, os.path.join(root, "label_02",
+                                              f"{seq}.txt"))
+        _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
+    return root
+
+
+def test_windowed_streaming_single_program(kitti_tree, tmp_path):
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["name"] = "tiny_kitti_cli"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "2",
+                  "--result-path", str(tmp_path / "results")])
+    # 5-frame and 3-frame sequences share ONE compiled window program.
+    assert stats["n_programs"] == 1
+    assert stats["n_dropped"] == 0
+    res_dir = tmp_path / "results" / "tiny_kitti_cli" / "latest"
+    assert (res_dir / "0000.txt").exists()
+    assert (res_dir / "0001.txt").exists()
+    assert (res_dir / "summary_car.txt").exists()
+    # Oracle detections with a random-init net still produce output rows
+    # for every frame; IDs must be consistent within a window chain
+    # (monotone non-negative ints), and all 5 frames of 0000 are present.
+    from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels
+
+    frames = read_kitti_tracking_labels(str(res_dir / "0000.txt"))
+    assert set(frames) == {0, 1, 2, 3, 4}
+    for objs in frames.values():
+        assert all(o.track_id >= 0 for o in objs)

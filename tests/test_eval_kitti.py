@@ -114,7 +114,7 @@ def test_malformed_line_rejected():
 def test_pedestrian_class_eval():
     """Pedestrian evaluation: Person_sitting is the ignored class."""
     gt = {0: [obj(0, 1, B1, "Pedestrian"), obj(0, 2, B2, "Person_sitting")]}
-    trk = {0: [obj(0, 5, B1), obj(0, 6, B2)]}
+    trk = {0: [obj(0, 5, B1, "Pedestrian"), obj(0, 6, B2, "Pedestrian")]}
     ev = TrackingEvaluation(cls="pedestrian")
     ev.add_sequence(gt, trk, num_frames=1)
     m = ev.compute()
@@ -123,6 +123,77 @@ def test_pedestrian_class_eval():
     # Cars in GT are irrelevant for pedestrian eval.
     gt2 = {0: [obj(0, 1, B1, "Car")]}
     ev2 = TrackingEvaluation(cls="pedestrian")
-    ev2.add_sequence(gt2, {0: [obj(0, 5, FAR)]}, num_frames=1)
+    ev2.add_sequence(gt2, {0: [obj(0, 5, FAR, "Pedestrian")]}, num_frames=1)
     m2 = ev2.compute()
     assert m2.fn == 0 and m2.fp == 1  # car ignored, stray ped det is FP
+
+
+def test_moda_modp():
+    """MODA has no IDS term; MODP averages per-frame mapped overlap."""
+    gt = {f: [obj(f, 1, B1)] for f in range(4)}
+    # Frames 0-1 tracked perfectly under one id, 2-3 under another: 1 IDS.
+    trk = {0: [obj(0, 5, B1)], 1: [obj(1, 5, B1)],
+           2: [obj(2, 6, B1)], 3: [obj(3, 6, B1)]}
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk, num_frames=4)
+    m = ev.compute()
+    assert m.id_switches == 1
+    assert m.mota == pytest.approx(1 - 1 / 4)   # IDS hurts MOTA
+    assert m.moda == pytest.approx(1.0)         # ...but not MODA
+    assert m.modp == pytest.approx(1.0)         # perfect overlaps
+
+    # Half-overlap boxes: MODP reflects localisation quality.
+    half = [100, 100, 200, 150]                 # IoU 0.5 with B1
+    trk2 = {f: [obj(f, 5, half)] for f in range(4)}
+    ev2 = TrackingEvaluation()
+    ev2.add_sequence(gt, trk2, num_frames=4)
+    m2 = ev2.compute()
+    assert m2.modp == pytest.approx(0.5, abs=1e-6)
+    assert m2.moda == pytest.approx(1.0)
+
+
+def test_tracker_class_filtering():
+    """Tracker entries of other classes are ignored (devkit loadTracker)."""
+    gt = {0: [obj(0, 1, B1)]}
+    trk = {0: [obj(0, 5, B1), obj(0, 6, FAR, "Pedestrian")]}
+    ev = TrackingEvaluation(cls="car")
+    ev.add_sequence(gt, trk, num_frames=1)
+    m = ev.compute()
+    assert (m.tp, m.fp) == (1, 0)               # ped box is not a car FP
+    assert m.n_tracker_trajectories == 1
+
+
+def test_summary_and_per_sequence(tmp_path):
+    import os
+
+    from mmmot_tpu.eval.kitti_devkit import (evaluate_tracking,
+                                             evaluate_tracking_all_classes)
+
+    gt_dir = tmp_path / "gt"; res_dir = tmp_path / "res"
+    gt_dir.mkdir(); res_dir.mkdir()
+    for seq in ("0000", "0001"):
+        gt = [obj(f, 1, B1) for f in range(3)]
+        write_kitti_result(gt, str(gt_dir / f"{seq}.txt"))
+        trk = [obj(f, 9, B1) for f in range(3 if seq == "0000" else 1)]
+        write_kitti_result(trk, str(res_dir / f"{seq}.txt"))
+
+    overall, per_seq = evaluate_tracking(
+        str(gt_dir), str(res_dir), ["0000", "0001"],
+        per_sequence=True, summary_dir=str(tmp_path / "out"))
+    assert per_seq["0000"].mota == pytest.approx(1.0)
+    assert per_seq["0001"].mota == pytest.approx(1 / 3)
+    assert overall.mota == pytest.approx(1 - 2 / 6)
+    assert overall.n_tracker_trajectories == 2
+
+    text = open(tmp_path / "out" / "summary_car.txt").read()
+    assert "Multiple Object Tracking Accuracy (MOTA)" in text
+    assert "Multiple Object Detection Precision (MODP)" in text
+    per_seq_txt = open(
+        tmp_path / "out" / "summary_car_per_sequence.txt").read()
+    assert "0000:" in per_seq_txt and "0001:" in per_seq_txt
+
+    both = evaluate_tracking_all_classes(
+        str(gt_dir), str(res_dir), ["0000", "0001"])
+    assert set(both) == {"car", "pedestrian"}
+    assert both["car"].mota == pytest.approx(overall.mota)
+    assert both["pedestrian"].n_gt == 0
