@@ -142,120 +142,21 @@ def main(argv=None):
 
 
 def _track_kitti(args, cfg, module, res_dir, ev, log):
-    """Real-data path: stream KITTI sequences end-to-end (eval_seq.py).
+    """Real-data path: windowed streaming over KITTI sequences.
 
-    Sequences of any length run through ONE compiled program: fixed-size
-    windows of ``args.window`` frames with the TrackerState carried across
-    windows (IDs continue seamlessly).  The last window of a sequence is
-    padded with all-invalid frames.  Capacity for valid-slot compaction is
-    quantized to multiples of 256 so a denser dataset costs at most a
-    couple of extra compiles, not one per sequence.
+    Delegates to :func:`mmmot_tpu.tracker.kitti_runner.track_kitti_sequences`
+    — one compiled program per (window, capacity) bucket, TrackerState
+    carried across windows, devkit scoring + summary file emission.
     """
-    import time
+    from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from mmmot_tpu.data.kitti_io import (KittiObject,
-                                         read_kitti_tracking_labels,
-                                         write_kitti_result)
-    from mmmot_tpu.data.kitti_loader import load_eval_sequences
-    from mmmot_tpu.tracker import track_sequence_from_frames
-
-    crop = tuple(cfg.data.crop_size)
-    P = cfg.data.point_len
-    W = args.window
-    chunk = 64
-
-    fns = {}            # capacity -> jitted window fn (compile cache)
-
-    def window_fn(capacity):
-        if capacity not in fns:
-            fns[capacity] = jax.jit(
-                lambda im, cl, cv, bx, dm, pr, st:
-                track_sequence_from_frames(
-                    module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
-                    compact_capacity=capacity, extract_chunk=chunk,
-                    state0=st, return_state=True))
-        return fns[capacity]
-
-    total_frames, t_total, n_dropped = 0, 0.0, 0
-    for i, (seq, arrs) in enumerate(load_eval_sequences(cfg.data)):
-        T, N = arrs.det_mask.shape
-        n_windows = max(1, -(-T // W))
-        # Capacity: densest window of this sequence, rounded up to 256.
-        dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
-                   for w in range(n_windows))
-        capacity = max(256, -(-(dens + chunk) // 256) * 256)
-        f = window_fn(capacity)
-
-        state = None
-        ids = np.full((n_windows * W, N), -1, np.int32)
-        det_score = np.zeros((n_windows * W, N), np.float32)
-        t0 = time.perf_counter()
-        for w in range(n_windows):
-            sl = slice(w * W, (w + 1) * W)
-            im = np.zeros((W,) + arrs.images.shape[1:], arrs.images.dtype)
-            cl = np.zeros((W,) + arrs.clouds.shape[1:], np.float32)
-            cv = np.zeros((W,) + arrs.cloud_valid.shape[1:], bool)
-            bx = np.zeros((W, N, 4), np.float32)
-            dm = np.zeros((W, N), bool)
-            n = arrs.images[sl].shape[0]
-            im[:n] = arrs.images[sl]
-            cl[:n] = arrs.clouds[sl]
-            cv[:n] = arrs.cloud_valid[sl]
-            bx[:n] = arrs.boxes[sl]
-            dm[:n] = arrs.det_mask[sl]
-            if state is None:
-                state = module.init_state(N)
-            out, state = f(jnp.asarray(im), jnp.asarray(cl),
-                           jnp.asarray(cv), jnp.asarray(bx),
-                           jnp.asarray(dm), jnp.asarray(arrs.proj), state)
-            out = jax.block_until_ready(out)
-            ids[sl] = np.asarray(out["ids"])[:n]
-            det_score[sl] = np.asarray(out["det_score"])[:n]
-            n_dropped += int(out["n_dropped"])
-        dt = time.perf_counter() - t0
-        if i > 0:
-            total_frames += T
-            t_total += dt
-        keep = arrs.det_mask
-        if args.score_threshold > 0:
-            keep = keep & (det_score[:T] >= args.score_threshold)
-        objs = []
-        for t in range(T):
-            for n in range(N):
-                if not keep[t, n] or ids[t, n] < 0:
-                    continue
-                objs.append(KittiObject(
-                    frame=int(arrs.frame_ids[t]), track_id=int(ids[t, n]),
-                    obj_type="Car", bbox=arrs.boxes[t, n],
-                    score=float(arrs.scores[t, n])))
-        path = os.path.join(res_dir, f"{seq}.txt")
-        write_kitti_result(objs, path)
-        log.info("sequence %s: %d frames in %.2fs -> %s (%d programs)",
-                 seq, T, dt, path, len(fns))
-        if not args.no_eval:
-            gt_path = os.path.join(cfg.data.root, "label_02", f"{seq}.txt")
-            if os.path.exists(gt_path):
-                ev.add_sequence(read_kitti_tracking_labels(gt_path),
-                                read_kitti_tracking_labels(path))
-    if n_dropped:
-        log.warning("%d detections dropped by compaction capacity — "
-                    "results are incomplete; raise --window density cap",
-                    n_dropped)
-    if total_frames:
+    stats = track_kitti_sequences(
+        module, cfg.data, res_dir, window=args.window,
+        score_threshold=args.score_threshold, evaluate=not args.no_eval,
+        log=log)
+    if stats["total_frames"]:
         log.info("throughput: %.1f FPS (steady-state), %d compiled "
-                 "programs", total_frames / max(t_total, 1e-9), len(fns))
-    stats = {"n_programs": len(fns), "n_dropped": n_dropped,
-             "total_frames": total_frames}
-    if not args.no_eval:
-        m = ev.compute()
-        log.info("metrics: %s", m.summary())
-        with open(os.path.join(res_dir, "summary_car.txt"), "w") as fh:
-            fh.write(m.summary_text())
-        stats["metrics"] = m
+                 "programs", stats["fps"], stats["n_programs"])
     return stats
 
 

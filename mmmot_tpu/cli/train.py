@@ -32,6 +32,13 @@ def parse_args(argv=None):
     p.add_argument("--val-every", type=int, default=5)
     p.add_argument("--val-sequences", type=int, default=2)
     p.add_argument("--val-frames", type=int, default=20)
+    p.add_argument("--val-seqs", default=None,
+                   help="comma-separated held-out KITTI sequences for "
+                        "validation (real-data mode); default: last 25%%")
+    p.add_argument("--val-window", type=int, default=64,
+                   help="streaming window for real-data validation")
+    p.add_argument("--log-dir", default=None,
+                   help="scalar log dir (default: runs/<config name>)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
 
@@ -76,6 +83,7 @@ def main(argv=None):
     crop = cfg.data.crop_size
 
     use_synthetic = args.synthetic or not os.path.isdir(cfg.data.root)
+    val_seqs = None
     if use_synthetic:
         def next_batch():
             b = make_training_batch(rng, batch_size=cfg.train.batch_size,
@@ -86,9 +94,22 @@ def main(argv=None):
     else:
         from mmmot_tpu.data.kitti_loader import KittiPairLoader
 
-        loader = KittiPairLoader(cfg.data, seed=cfg.train.seed)
-        log.info("real KITTI training: %d sequences at %s",
-                 len(loader.ds.sequences), cfg.data.root)
+        all_seqs = KittiPairLoader(cfg.data, seed=cfg.train.seed
+                                   ).ds.sequences
+        if args.val_seqs:
+            val_seqs = [s for s in args.val_seqs.split(",") if s]
+        else:
+            # Held-out validation: last quarter of sequences (>= 1),
+            # mirroring the reference's train/val split of the KITTI
+            # training sequences (main.py validate(); SURVEY.md §2.1).
+            n_val = max(1, len(all_seqs) // 4)
+            val_seqs = all_seqs[-n_val:] if len(all_seqs) > 1 else \
+                all_seqs
+        train_seqs = [s for s in all_seqs if s not in val_seqs] or all_seqs
+        loader = KittiPairLoader(cfg.data, seed=cfg.train.seed,
+                                 sequences=tuple(train_seqs))
+        log.info("real KITTI training: %d train seqs, val on %s (%s)",
+                 len(train_seqs), val_seqs, cfg.data.root)
         batch_iter = loader.batches(cfg.train.batch_size)
 
         def next_batch():
@@ -124,10 +145,24 @@ def main(argv=None):
         module = TrackingModule(
             net, {"params": state.params, "batch_stats": state.batch_stats},
             cfg.assoc)
+        res_dir = os.path.join(args.result_path, cfg.name, tag)
+        if val_seqs is not None:
+            # Real-data validation: devkit-scored tracking on held-out
+            # KITTI sequences — best-checkpoint selection sees real MOTA
+            # (reference: main.py validate()).
+            from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
+
+            stats = track_kitti_sequences(
+                module, cfg.data, res_dir, sequences=val_seqs,
+                window=args.val_window, evaluate=True,
+                max_frames=args.val_frames if args.val_frames > 0 else
+                None, log=log)
+            m = stats["metrics"]
+            log.info("[val %s] %s", tag, m.summary())
+            return m
         track = jax.jit(lambda c, p, pm, dm: track_sequence(
             module, c, p, pm, dm))
         ev = TrackingEvaluation(cls="car")
-        res_dir = os.path.join(args.result_path, cfg.name, tag)
         for s in range(args.val_sequences):
             world = make_synthetic_sequence(
                 np.random.default_rng(1000 + s),
@@ -159,6 +194,15 @@ def main(argv=None):
         validate(state, "eval")
         return
 
+    # Structured scalar logging (reference: tensorboardX in main.py).
+    from mmmot_tpu.train.trainer import build_schedule
+    from mmmot_tpu.utils.scalars import ScalarWriter
+
+    log_dir = args.log_dir or os.path.join("runs", cfg.name)
+    writer = ScalarWriter(log_dir)
+    lr_of = build_schedule(cfg.train, args.steps_per_epoch)
+    log.info("scalars -> %s (JSONL + tensorboard)", log_dir)
+
     best_mota = -1e9
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
@@ -171,17 +215,29 @@ def main(argv=None):
             if (i + 1) % cfg.train.log_every == 0:
                 log.info("epoch %d step %d/%d loss %.4f", epoch, i + 1,
                          args.steps_per_epoch, losses[-1])
+                step = int(state.step)
+                writer.write(step, lr=float(lr_of(step)),
+                             **{f"loss/{k}": float(v)
+                                for k, v in metrics.items()})
         log.info("epoch %d done in %.1fs mean loss %.4f", epoch,
                  time.time() - t0, sum(losses) / len(losses))
+        writer.write(int(state.step),
+                     **{"epoch": epoch,
+                        "loss/epoch_mean": sum(losses) / len(losses)})
         save_checkpoint(ckpt_dir, state, int(state.step),
                         keep=cfg.train.ckpt_keep)
         if (epoch + 1) % args.val_every == 0 or epoch == cfg.train.epochs - 1:
             m = validate(state, f"epoch{epoch}")
+            writer.write(int(state.step), **{
+                "val/mota": m.mota, "val/motp": m.motp,
+                "val/ids": m.id_switches, "val/recall": m.recall,
+                "val/precision": m.precision})
             if m.mota > best_mota:
                 best_mota = m.mota
                 save_checkpoint(ckpt_dir + "_best", state, int(state.step),
                                 keep=1, metrics={"mota": m.mota})
                 log.info("new best MOTA %.4f", m.mota)
+    writer.close()
 
 
 if __name__ == "__main__":

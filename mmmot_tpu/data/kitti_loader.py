@@ -21,9 +21,12 @@ class KittiPairLoader:
     """Adjacent-frame-pair training batches from a KITTI tracking tree."""
 
     def __init__(self, cfg: DataConfig, seed: int = 0,
-                 max_cloud_points: int = 32768):
+                 max_cloud_points: int = 32768,
+                 sequences: Optional[Tuple[str, ...]] = None):
         self.cfg = cfg
         self.ds = KittiTrackingDataset(cfg, max_cloud_points=max_cloud_points)
+        self.sequences = (list(sequences) if sequences is not None
+                          else self.ds.sequences)
         self.rng = np.random.default_rng(seed)
         self._prep = None
 
@@ -57,7 +60,7 @@ class KittiPairLoader:
         """Infinite iterator over [B, 2, ...] training batches."""
         import jax.numpy as jnp
 
-        seqs = self.ds.sequences
+        seqs = self.sequences
         while True:
             samples = []
             for _ in range(batch_size):

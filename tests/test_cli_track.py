@@ -28,8 +28,7 @@ def _write_calib(path):
                                       [1, 0, 0, 0]]).ravel()) + "\n")
 
 
-@pytest.fixture
-def kitti_tree(tmp_path):
+def build_kitti_tree(tmp_path):
     from PIL import Image
 
     root = str(tmp_path / "kitti")
@@ -57,6 +56,11 @@ def kitti_tree(tmp_path):
                                               f"{seq}.txt"))
         _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
     return root
+
+
+@pytest.fixture
+def kitti_tree(tmp_path):
+    return build_kitti_tree(tmp_path)
 
 
 def test_windowed_streaming_single_program(kitti_tree, tmp_path):
