@@ -100,6 +100,22 @@ def main():
         module, im, cl, bx, dm, proj, (CROP, CROP), P,
         compact_capacity=compact, extract_chunk=CHUNK))
 
+    # Multi-chip: shard the sequence axis over the mesh's data axis
+    # (embarrassingly parallel; XLA partitions the whole pipeline).
+    n_dev = jax.device_count()
+    if n_dev > 1 and S % n_dev == 0:
+        from mmmot_tpu.config import ParallelConfig
+        from mmmot_tpu.parallel import make_mesh, shard_sequences
+
+        mesh = make_mesh(ParallelConfig(num_data=n_dev))
+        sharded = shard_sequences(mesh, {
+            "images": images, "clouds": clouds, "boxes": boxes,
+            "det_mask": det_mask})
+        images, clouds = sharded["images"], sharded["clouds"]
+        boxes, det_mask = sharded["boxes"], sharded["det_mask"]
+    else:
+        n_dev = 1
+
     out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
     dropped = int(np.asarray(out["n_dropped"]).sum())
     assert dropped == 0, f"{dropped} detections dropped; raise COMPACT"
@@ -113,12 +129,13 @@ def main():
     fps = (S * T) / dt
     print(json.dumps({
         "metric": "kitti_tracking_fps_per_chip",
-        "value": round(fps, 2),
+        "value": round(fps / n_dev, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / n_dev / BASELINE_FPS, 3),
         "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
                    "compact": compact, "chunk": CHUNK,
-                   "dropped_dets": dropped},
+                   "dropped_dets": dropped, "devices": n_dev,
+                   "aggregate_fps": round(fps, 2)},
     }))
 
 
