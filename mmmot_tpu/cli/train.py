@@ -21,6 +21,10 @@ def parse_args(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--load-path", default=None,
                    help="checkpoint dir to load weights from")
+    p.add_argument("--pretrained-vgg", default=None,
+                   help="torchvision vgg<depth>_bn .pth to initialise the "
+                        "appearance backbone (reference: "
+                        "vgg16_bn(pretrained=True))")
     p.add_argument("--recover", action="store_true",
                    help="resume training (optimizer state + step)")
     p.add_argument("-e", "--evaluate", action="store_true",
@@ -118,6 +122,16 @@ def main(argv=None):
     batch0 = next_batch()
     state = create_train_state(net, cfg.train, key, batch0,
                                steps_per_epoch=args.steps_per_epoch)
+    if args.pretrained_vgg:
+        from mmmot_tpu.compat.pretrained import load_pretrained_vgg
+
+        variables, report = load_pretrained_vgg(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.pretrained_vgg, depth=cfg.model.appearance.depth)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        log.info("pretrained VGG loaded: %d tensors from %s",
+                 len(report["converted"]), args.pretrained_vgg)
     ckpt_dir = os.path.join(cfg.train.ckpt_dir, cfg.name)
     start_epoch = 0
     if args.recover and latest_step(ckpt_dir) is not None:

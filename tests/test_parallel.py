@@ -106,3 +106,48 @@ def test_sharded_tracking_matches_single_device():
     ids_shard = np.asarray(f(args["c"], args["p"], args["pm"],
                              args["dm"])["ids"])
     np.testing.assert_array_equal(ids_single, ids_shard)
+
+
+def test_masked_bn_axis_name_under_shard_map():
+    """MaskedBatchNorm(axis_name=...) under shard_map: cross-replica moments
+    equal full-batch moments (VERDICT r1 weak item 8)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from mmmot_tpu.models.layers import MaskedBatchNorm
+
+    mesh = make_mesh(ParallelConfig(num_data=8))
+    rng = np.random.default_rng(0)
+    B, D = 64, 16                                # 8 per device
+    x = jnp.asarray(rng.normal(2.0, 3.0, (B, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random(B) < 0.7)
+
+    bn_sharded = MaskedBatchNorm(axis_name="data")
+    bn_local = MaskedBatchNorm()
+    variables = bn_local.init(jax.random.PRNGKey(0), x, mask,
+                              use_running_average=False)
+
+    def fwd(v, xs, ms):
+        y, mut = bn_sharded.apply(v, xs, ms, use_running_average=False,
+                                  mutable=["batch_stats"])
+        return y, mut["batch_stats"]
+
+    sharded = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P()))
+    y_sh, stats_sh = jax.jit(sharded)(variables, x, mask)
+
+    y_full, mut_full = bn_local.apply(variables, x, mask,
+                                      use_running_average=False,
+                                      mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_full),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["mean"]),
+        np.asarray(mut_full["batch_stats"]["mean"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["var"]),
+        np.asarray(mut_full["batch_stats"]["var"]), atol=1e-6)

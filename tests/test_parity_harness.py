@@ -278,3 +278,54 @@ def test_mapping_covers_flagship_shapes():
     assert len(convs) == 13
     idxs = sorted(int(k.split(".")[1]) for k in convs)
     assert idxs == [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
+
+
+def test_load_pretrained_vgg(tmp_path):
+    """torchvision-style vgg_bn .pth initialises the appearance backbone."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.compat.pretrained import load_pretrained_vgg
+    from mmmot_tpu.config import DataConfig
+    from mmmot_tpu.compat.parity_check import golden_batch
+
+    cfg = tiny_cfg()
+    torch.manual_seed(1)
+    feats = torchvision_style_features(DEPTH, WM).eval()
+    _randomize(feats, np.random.default_rng(5))
+    sd = {f"features.{k}": v for k, v in feats.state_dict().items()}
+    # Classifier keys must be tolerated as expected-unused.
+    sd["classifier.0.weight"] = torch.zeros(10, 25088)
+    sd["classifier.0.bias"] = torch.zeros(10)
+    path = str(tmp_path / "vgg.pth")
+    torch.save(sd, path)
+
+    net = model_entry(cfg)
+    data = DataConfig(max_dets=4, point_len=8, crop_size=(32, 32))
+    batch = golden_batch(cfg, data)
+    variables = jax.jit(lambda r, b: net.init({"params": r}, b,
+                                              train=False))(
+        jax.random.PRNGKey(0), batch)
+    loaded, report = load_pretrained_vgg(variables, path, depth=DEPTH)
+    assert report["unexpected_unused"] == []
+    # Stem conv now carries the torch weights (and differs from the init).
+    got = np.asarray(
+        loaded["params"]["appear_net"]["backbone"]["conv_0"]["kernel"])
+    want = np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    init = np.asarray(
+        variables["params"]["appear_net"]["backbone"]["conv_0"]["kernel"])
+    assert np.abs(got - init).max() > 1e-4
+    # Other branches keep their init values.
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["point_net"]["proj"]["kernel"]),
+        np.asarray(variables["params"]["point_net"]["proj"]["kernel"]))
+    # Width mismatch raises a clear error.
+    with pytest.raises(ValueError):
+        wrong = model_entry(tiny_cfg())
+        bad_feats = torchvision_style_features(DEPTH, WM * 2).eval()
+        bsd = {f"features.{k}": v for k, v in
+               bad_feats.state_dict().items()}
+        bp = str(tmp_path / "bad.pth")
+        torch.save(bsd, bp)
+        load_pretrained_vgg(variables, bp, depth=DEPTH)
