@@ -125,7 +125,13 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     """
     N = det_mask.shape[-1]
     if state0 is None:
-        state0 = module.init_state(N)
+        # Build the registry from the branches actually extracted — with a
+        # dead sensor (crops/points None) the single-modality branches are
+        # absent, and the scan carry must match (sensor-failure operation is a
+        # product feature; reference keeps per-modality paths alive).
+        from mmmot_tpu.tracker.tracker import init_state
+
+        state0 = init_state({k: v.shape[-1] for k, v in feats.items()}, N)
     cdtype = feats["fused"].dtype
     state0 = state0._replace(
         feats={k: v.astype(cdtype) for k, v in state0.feats.items()})

@@ -176,3 +176,43 @@ def test_compact_first_raw_frames_matches_uncompacted():
     # Under-sized capacity drops detections and reports the count.
     small = run(4, 4)
     assert int(small["n_dropped"]) == int(det_mask.sum()) - 4
+
+
+def test_scan_with_dead_sensor():
+    """track_sequence runs with a missing modality (sensor failure)."""
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="C", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    T, Ns, P = 3, 4, 8
+    key = jax.random.PRNGKey(2)
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        key, batch)
+    module = TrackingModule(net, vars_, AssocConfig())
+    crops = jax.random.normal(key, (T, Ns, 32, 32, 3))
+    points = jax.random.normal(key, (T, Ns, P, 4))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm = jnp.ones((T, Ns), bool)
+    # Dead LiDAR and dead camera must both stream fine.
+    out_img = jax.jit(lambda c: track_sequence(module, c, None, pm, dm))(
+        crops)
+    out_pts = jax.jit(lambda p: track_sequence(module, None, p, pm, dm))(
+        points)
+    assert (np.asarray(out_img["ids"])[0] >= 0).all()
+    assert (np.asarray(out_pts["ids"])[0] >= 0).all()
