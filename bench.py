@@ -36,7 +36,7 @@ H, W, M = 384, 1248, 16384
 CROP = int(os.environ.get("MMMOT_BENCH_CROP", 224))
 # Chunk the crop+conv stage so activations stay in HBM comfortably
 # (S*CHUNK crops per conv step).
-CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 64)) or None
+CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 32)) or None
 
 
 def main():
@@ -52,6 +52,12 @@ def main():
     setup_jax()
     cfg = flagship(compute_dtype="bfloat16", max_dets=N, crop=CROP,
                    point_len=P)
+    solver = os.environ.get("MMMOT_BENCH_SOLVER")
+    if solver:
+        import dataclasses
+
+        cfg = cfg.replace(assoc=dataclasses.replace(cfg.assoc,
+                                                    solver=solver))
     net = model_entry(cfg.model)
 
     rng = np.random.default_rng(0)
@@ -119,6 +125,11 @@ def main():
     out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
     dropped = int(np.asarray(out["n_dropped"]).sum())
     assert dropped == 0, f"{dropped} detections dropped; raise COMPACT"
+
+    prof_dir = os.environ.get("MMMOT_BENCH_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
 
     n_runs = 3
     t0 = time.perf_counter()
