@@ -134,7 +134,12 @@ def main():
     n_runs = 3
     t0 = time.perf_counter()
     for _ in range(n_runs):
-        out = jax.block_until_ready(f(images, clouds, boxes, det_mask))
+        out = f(images, clouds, boxes, det_mask)
+        # Fetch a real output (not just block_until_ready): under the axon
+        # tunnel, block_until_ready can resolve early for some executables;
+        # a host transfer provably waits for execution.  (Verified both
+        # agree for this pipeline: 323.4 vs 323.5 FPS.)
+        np.asarray(out["ids"])
     dt = (time.perf_counter() - t0) / n_runs
 
     fps = (S * T) / dt
