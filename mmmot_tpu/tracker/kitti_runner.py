@@ -71,7 +71,11 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     for i, seq in enumerate(seqs):
         arrs = ds.load_sequence(seq, max_frames=max_frames)
         T, N = arrs.det_mask.shape
-        W = min(window, T) if T else window
+        # Always the full window: padding frames carry no detections, so
+        # compaction makes them nearly free, and every sequence length then
+        # shares one compiled program (W = min(window, T) would recompile
+        # per distinct short length).
+        W = window
         n_windows = max(1, -(-T // W))
         dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
                    for w in range(n_windows))
