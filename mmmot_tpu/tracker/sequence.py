@@ -116,25 +116,40 @@ def _compact_extract(module: TrackingModule, crops, points, point_mask,
 
 def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
                 det_mask, state0=None):
-    """The sequential part: scan association/ID bookkeeping over frames.
+    """The sequential part: association + ID bookkeeping over frames.
 
     ``state0`` lets callers stream one long sequence through several
     fixed-size windows (one compiled program regardless of sequence
     length): pass the previous window's final state.  Returns
     (outputs, final_state).
+
+    Two execution strategies with identical results (tested):
+
+    * **parallel pre-solve** (default, ``module.parallel_assoc``): frame-
+      pair associations depend only on features, so all T affinity
+      computations and LP solves run as ONE batch (big matmuls + one
+      vmapped auction); only the elementwise ID propagation scans.  This
+      removed the dominant cost of the sequence pipeline (the per-frame
+      scan body was 44% of runtime at the faithful benchmark scale).
+    * **sequential scan** (``use_det_scores`` / ``parallel_assoc=False``):
+      per-frame ``step_from_feats``, required when LP det rejection makes
+      the carried state decision-dependent.
     """
     N = det_mask.shape[-1]
     if state0 is None:
         # Build the registry from the branches actually extracted — with a
         # dead sensor (crops/points None) the single-modality branches are
-        # absent, and the scan carry must match (sensor-failure operation is a
-        # product feature; reference keeps per-modality paths alive).
+        # absent, and the scan carry must match (sensor-failure operation
+        # is a product feature; reference keeps per-modality paths alive).
         from mmmot_tpu.tracker.tracker import init_state
 
         state0 = init_state({k: v.shape[-1] for k, v in feats.items()}, N)
     cdtype = feats["fused"].dtype
     state0 = state0._replace(
         feats={k: v.astype(cdtype) for k, v in state0.feats.items()})
+
+    if getattr(module, "parallel_assoc", False):
+        return _parallel_track(module, feats, det_mask, state0)
 
     def step(state, frame):
         f, dm = frame
@@ -143,6 +158,59 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
     frames = ({k: v for k, v in feats.items()}, det_mask)
     final, (ids, det_score) = jax.lax.scan(step, state0, frames)
+    return {"ids": ids, "det_score": det_score}, final
+
+
+def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
+                    det_mask, state0):
+    """Batched association pre-solve + elementwise ID-propagation scan.
+
+    Pair t associates frame t against frame t-1 (pair 0 against
+    ``state0``, which is empty at a sequence start so everything is new —
+    exactly what the sequential scan computes step by step).
+    """
+    from mmmot_tpu.assoc import associate
+    from mmmot_tpu.tracker.tracker import TrackerState
+
+    T, N = det_mask.shape
+    net = module.net
+
+    prev_feats = {k: jnp.concatenate([state0.feats[k][None], v[:-1]])
+                  for k, v in feats.items()}
+    mask_prev = jnp.concatenate([state0.mask[None], det_mask[:-1]])
+
+    aff = net.apply(module.variables, prev_feats, feats, mask_prev,
+                    det_mask, train=False, method=net.affinity)
+    link = aff.link_norm
+    new_s = jax.nn.sigmoid(aff.new)
+    end_s = jax.nn.sigmoid(aff.end)
+    dec = associate(link, new_s, end_s, mask_prev, det_mask,
+                    module.assoc_cfg)
+    det_logit = net.apply(module.variables, feats["fused"], det_mask,
+                          method=net.det_score)
+    det_score = jax.nn.sigmoid(det_logit)
+
+    def step(carry, x):
+        ids_prev, ages_prev, next_id = carry
+        match_curr, is_new, dm = x
+        linked = match_curr >= 0
+        safe = jnp.maximum(match_curr, 0)
+        inherited = jnp.where(linked, ids_prev[safe], -1)
+        order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        ids_curr = jnp.where(is_new, next_id + order, inherited)
+        ids_curr = jnp.where(dm, ids_curr, -1).astype(jnp.int32)
+        matched_age = jnp.where(linked, ages_prev[safe], 0)
+        ages_curr = jnp.where(dm, matched_age + 1, 0).astype(jnp.int32)
+        next_id = next_id + jnp.sum(is_new.astype(jnp.int32))
+        return (ids_curr, ages_curr, next_id), ids_curr
+
+    (ids_last, ages_last, next_id), ids = jax.lax.scan(
+        step, (state0.ids, state0.ages, state0.next_id),
+        (dec.match_curr, dec.is_new, det_mask))
+
+    final = TrackerState(
+        feats={k: v[-1] for k, v in feats.items()},
+        mask=det_mask[-1], ids=ids_last, ages=ages_last, next_id=next_id)
     return {"ids": ids, "det_score": det_score}, final
 
 
@@ -211,11 +279,11 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
     from mmmot_tpu.ops.frustum import frustum_sample_batched
 
     scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
-    points, point_mask = frustum_sample_batched(
-        clouds, boxes, proj, points_per_det, det_mask=det_mask,
-        point_valid=cloud_valid)
 
     if compact_capacity is None:
+        points, point_mask = frustum_sample_batched(
+            clouds, boxes, proj, points_per_det, det_mask=det_mask,
+            point_valid=cloud_valid)
         crops = crop_and_resize_batched(
             images.astype(jnp.float32), boxes, crop_size, det_mask,
             method="mxu")
@@ -230,17 +298,23 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         idx, taken = _compact_indices(det_mask, compact_capacity)
         tsel = idx // N
         boxes_c = boxes.reshape(T * N, 4)[idx]
-        pts_c = points.reshape((T * N,) + points.shape[2:])[idx]
-        pm_c = point_mask.reshape((T * N,) + point_mask.shape[2:])[idx]
 
         def ex(args):
-            ts_k, bx_k, p_k, pm_k, m_k = args
+            # Both the crop resize AND the frustum top_k run only on the
+            # compacted valid detections (the per-slot frustum pass was
+            # ~10% of pipeline time at KITTI density).
+            ts_k, bx_k, m_k = args
             crops_k = crop_and_resize_gathered(
                 images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
             crops_k = normalize_crops(crops_k, scale=scale)
-            return module.extract(crops_k, p_k, pm_k, m_k)
+            cl_k = clouds[ts_k]                       # [chunk, M, C]
+            cv_k = cloud_valid[ts_k] if cloud_valid is not None else None
+            p_k, pm_k = frustum_sample_batched(
+                cl_k, bx_k[:, None, :], proj, points_per_det,
+                det_mask=m_k[:, None], point_valid=cv_k)
+            return module.extract(crops_k, p_k[:, 0], pm_k[:, 0], m_k)
 
-        feats_c = _chunked(ex, (tsel, boxes_c, pts_c, pm_c, taken),
+        feats_c = _chunked(ex, (tsel, boxes_c, taken),
                            compact_capacity, extract_chunk)
         feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
         out, final = _scan_track(module, feats, kept, state0=state0)

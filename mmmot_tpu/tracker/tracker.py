@@ -85,11 +85,25 @@ class TrackingModule:
 
     def __init__(self, net: TrackingNet, variables: Any,
                  assoc_cfg: Optional[AssocConfig] = None,
-                 use_pallas_affinity: bool = False):
+                 use_pallas_affinity: bool = False,
+                 parallel_assoc: Optional[bool] = None):
         self.net = net
         self.variables = variables
         self.assoc_cfg = assoc_cfg or AssocConfig()
         self.use_pallas_affinity = use_pallas_affinity
+        # Parallel association pre-solve (sequence scan): without LP-level
+        # det rejection, frame-pair associations depend only on features,
+        # never on previous decisions — so all T-1 affinity computations
+        # and LP solves batch in parallel and only the (elementwise) ID
+        # propagation stays sequential.  With use_det_scores, rejected dets
+        # leave the carried state, which feeds the next pair's masks, so
+        # the scan must stay fully sequential.  None = auto.
+        if parallel_assoc is None:
+            parallel_assoc = not self.assoc_cfg.use_det_scores
+        if parallel_assoc and self.assoc_cfg.use_det_scores:
+            raise ValueError("parallel_assoc is unsound with "
+                             "use_det_scores (decision-dependent state)")
+        self.parallel_assoc = parallel_assoc
         if use_pallas_affinity:
             aff = net.cfg.affinity
             if aff.num_layers != 2 or aff.gnn_rounds != 0:

@@ -216,3 +216,58 @@ def test_scan_with_dead_sensor():
         points)
     assert (np.asarray(out_img["ids"])[0] >= 0).all()
     assert (np.asarray(out_pts["ids"])[0] >= 0).all()
+
+
+def test_parallel_assoc_matches_sequential():
+    """Batched association pre-solve == per-frame sequential scan."""
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="C", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    T, Ns, P = 6, 5, 8
+    key = jax.random.PRNGKey(3)
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        key, batch)
+
+    rng = np.random.default_rng(11)
+    crops = jnp.asarray(rng.normal(0, 1, (T, Ns, 32, 32, 3)).astype(
+        np.float32))
+    points = jnp.asarray(rng.normal(0, 1, (T, Ns, P, 4)).astype(np.float32))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm = jnp.asarray(np.arange(Ns)[None, :]
+                     < rng.integers(1, Ns + 1, (T, 1)))
+
+    mods = {
+        mode: TrackingModule(net, vars_, AssocConfig(),
+                             parallel_assoc=(mode == "parallel"))
+        for mode in ("parallel", "sequential")
+    }
+    outs = {mode: jax.jit(lambda c, p, q, d, m=m: track_sequence(
+        m, c, p, q, d))(crops, points, pm, dm)
+        for mode, m in mods.items()}
+    np.testing.assert_array_equal(np.asarray(outs["parallel"]["ids"]),
+                                  np.asarray(outs["sequential"]["ids"]))
+    np.testing.assert_allclose(
+        np.asarray(outs["parallel"]["det_score"]),
+        np.asarray(outs["sequential"]["det_score"]), atol=1e-6)
+
+    # use_det_scores forces sequential; requesting parallel raises.
+    with pytest.raises(ValueError):
+        TrackingModule(net, vars_, AssocConfig(use_det_scores=True),
+                       parallel_assoc=True)
