@@ -171,7 +171,7 @@ def _complete_matching(cost, assign, owner):
 
 @partial(jax.jit, static_argnames=("scaling_steps", "max_iters",
                                    "quant_bits", "with_info"))
-def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
+def auction_lap(cost: jnp.ndarray,
                 scaling_steps: int = 8, max_iters: int = 100000,
                 quant_bits: int = 18, with_info: bool = False):
     """Max-weight perfect matching on square ``cost`` [M, M] (float scores).
@@ -185,10 +185,8 @@ def auction_lap(cost: jnp.ndarray, eps: float = 1e-4,
     exact optimum of the quantized problem, and quantization error on the
     objective is bounded by ``M * span / 2^quant_bits``.  ``scaling_steps``
     sets how many eps-scaling phases cover the span (division factor is
-    derived); ``eps`` is kept for API compatibility and ignored (the
-    integer schedule always ends at eps = 1).
+    derived); the integer schedule always ends at eps = 1 (exact).
     """
-    del eps  # integer schedule always ends at eps = 1 (exact)
     M = cost.shape[0]
     allowed = cost > NEG / 2
     cost = cost.astype(jnp.float32)
@@ -249,7 +247,7 @@ def decode_matching(row_to_col, mask_prev, mask_curr, new=None, end=None,
                      keep_prev=keep_prev, keep_curr=keep_curr)
 
 
-def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
+def solve_auction(link, new, end, mask_prev, mask_curr,
                   scaling_steps: int = 8, max_iters: int = 100000,
                   det_prev=None, det_curr=None) -> Decisions:
     """Full pipeline: scores -> square reduction -> auction -> decisions.
@@ -261,8 +259,7 @@ def solve_auction(link, new, end, mask_prev, mask_curr, eps: float = 1e-4,
     batch_shape = cost.shape[:-2]
     M = cost.shape[-1]
     flat = cost.reshape((-1, M, M))
-    solve = jax.vmap(lambda c: auction_lap(c, eps=eps,
-                                           scaling_steps=scaling_steps,
+    solve = jax.vmap(lambda c: auction_lap(c, scaling_steps=scaling_steps,
                                            max_iters=max_iters))
     rc = solve(flat).reshape(batch_shape + (M,))
     return decode_assignment(rc, mask_prev, mask_curr, new=new, end=end,

@@ -41,7 +41,6 @@ def associate(link, new, end, mask_prev, mask_curr,
     s = cfg.solver
     if s == "auction":
         return solve_auction(link, new, end, mask_prev, mask_curr,
-                             eps=cfg.auction_eps,
                              scaling_steps=cfg.auction_scaling_steps, **det)
     if s == "sinkhorn":
         return solve_sinkhorn(link, new, end, mask_prev, mask_curr,

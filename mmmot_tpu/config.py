@@ -150,8 +150,8 @@ class AssocConfig:
     """Data association solver (replaces reference OR-Tools CBC ILP)."""
 
     solver: str = "auction"            # auction | sinkhorn | greedy | ilp (host oracle)
-    auction_eps: float = 1e-4
-    auction_scaling_steps: int = 8
+    auction_scaling_steps: int = 8     # eps-scaling phases (integer auction
+                                       # is exact regardless; this is speed)
     sinkhorn_tau: float = 0.05
     sinkhorn_iters: int = 100
     link_threshold: float = 0.0        # min link score to accept a match
