@@ -1,2 +1,3 @@
 from mmmot_tpu.eval.kitti_devkit import (TrackingEvaluation, TrackingMetrics,
-                                         evaluate_tracking)
+                                         evaluate_tracking,
+                                         evaluate_tracking_all_classes)
