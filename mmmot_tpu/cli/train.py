@@ -151,7 +151,8 @@ def main(argv=None):
         else:
             rd = r
         return train_step(net, s, b, rd,
-                          loss_weights=cfg.train.loss_weights)
+                          loss_weights=cfg.train.loss_weights,
+                          compact_capacity=cfg.train.compact_capacity)
 
     step_fn = jax.jit(_step)
 

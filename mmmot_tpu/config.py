@@ -171,6 +171,8 @@ class TrainConfig:
     warmup_steps: int = 200
     epochs: int = 40
     batch_size: int = 4                # frame pairs per step (per replica)
+    compact_capacity: int = 0          # >0: compact-first training forward
+                                       # (conv FLOPs on valid dets only)
     grad_clip: float = 10.0
     loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)  # link, new, end, det
     seed: int = 0

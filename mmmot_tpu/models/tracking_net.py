@@ -128,14 +128,54 @@ class TrackingNet(nn.Module):
         return s * det_mask.astype(s.dtype)
 
     # ---- training forward over T-frame samples --------------------------
-    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False,
+                 compact_capacity: int = 0):
+        """Forward over [B, T, N, ...] padded samples.
+
+        ``compact_capacity`` > 0 gathers the valid (batch, frame, slot)
+        triples into a dense list of that static size before feature
+        extraction, so the conv stack runs only on real detections (KITTI
+        batches are ~75% padding).  Gather/scatter are differentiable, and
+        MaskedBatchNorm statistics over the compacted set with its `taken`
+        mask equal the full-batch masked statistics, so training is
+        semantics-preserving.  If more detections are valid than capacity,
+        the overflow is dropped AND masked out of ``kept_mask`` (returned
+        in the outputs) so the loss ignores them consistently.
+        """
         crops = batch.get("crops")
         points = batch.get("points")
         point_mask = batch.get("point_mask")
         det_mask = batch["det_mask"]
         T = det_mask.shape[1]
 
-        feats = self.extract(crops, points, point_mask, det_mask, train=train)
+        kept_mask = None
+        if compact_capacity:
+            B, T_, N = det_mask.shape
+            total = B * T_ * N
+            cap = min(compact_capacity, total)
+            flat = det_mask.reshape(-1)
+            order = flat.astype(jnp.int32) * (total + 1) - \
+                jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
+            _, idx = jax.lax.top_k(order, cap)
+            taken = flat[idx]
+
+            def g(x):
+                return None if x is None else \
+                    x.reshape((total,) + x.shape[3:])[idx]
+
+            feats_c = self.extract(g(crops), g(points), g(point_mask),
+                                   taken, train=train)
+            feats = {}
+            for k, v in feats_c.items():
+                v = v * taken[:, None].astype(v.dtype)
+                full = jnp.zeros((total, v.shape[-1]), v.dtype).at[idx].set(v)
+                feats[k] = full.reshape(B, T_, N, v.shape[-1])
+            kept_mask = jnp.zeros((total,), bool).at[idx].set(
+                taken).reshape(B, T_, N)
+            det_mask = kept_mask
+        else:
+            feats = self.extract(crops, points, point_mask, det_mask,
+                                 train=train)
         outs = []
         for t in range(T - 1):
             fp = {k: v[:, t] for k, v in feats.items()}
@@ -144,10 +184,13 @@ class TrackingNet(nn.Module):
                                       det_mask[:, t + 1], train=train))
         stack = lambda xs: jnp.stack(xs, axis=1)
         det = self.det_score(feats["fused"], det_mask)
-        return {
+        out = {
             "link": stack([o.link for o in outs]),
             "link_norm": stack([o.link_norm for o in outs]),
             "new": stack([o.new for o in outs]),
             "end": stack([o.end for o in outs]),
             "det": det,
         }
+        if kept_mask is not None:
+            out["kept_mask"] = kept_mask
+        return out

@@ -63,7 +63,9 @@ def tracking_loss(outputs: Dict[str, jnp.ndarray],
     id >= 0 means a true detection, -1 a false positive).
     """
     w_link, w_new, w_end, w_det = weights
-    det_mask = batch["det_mask"]
+    # Compact-first training may drop overflow detections; kept_mask from
+    # the forward then masks them out of the loss consistently.
+    det_mask = outputs.get("kept_mask", batch["det_mask"])
     mask_prev = det_mask[:, :-1]
     mask_curr = det_mask[:, 1:]
 

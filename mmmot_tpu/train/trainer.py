@@ -91,15 +91,22 @@ def create_train_state(net: TrackingNet, cfg: TrainConfig, rng,
 
 def train_step(net: TrackingNet, state: TrainState,
                batch: Dict[str, jnp.ndarray], dropout_rng,
-               loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+               loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0),
+               compact_capacity: int = 0
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step (jit/pjit this).  Returns (state', metrics)."""
+    """One optimization step (jit/pjit this).  Returns (state', metrics).
+
+    ``compact_capacity`` > 0 enables compact-first feature extraction in
+    the forward (conv FLOPs only on valid detections — KITTI batches are
+    ~75% padding); dropped overflow detections are masked out of the loss.
+    """
 
     def loss_fn(params):
         outputs, mutated = net.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch, train=True, mutable=["batch_stats"],
-            rngs={"dropout": dropout_rng})
+            rngs={"dropout": dropout_rng},
+            compact_capacity=compact_capacity)
         loss, metrics = tracking_loss(outputs, batch, loss_weights)
         return loss, (metrics, mutated["batch_stats"])
 

@@ -105,3 +105,63 @@ def test_association_labels_consistency(rng):
                                   np.ones(mask_curr.sum()))
     # Padding carries no labels.
     assert link[~(mask_prev[..., :, None] & mask_curr[..., None, :])].sum() == 0
+
+
+def test_compact_training_matches_plain():
+    """compact_capacity training forward == plain forward (loss + grads)."""
+    import numpy as np
+
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig, TrainConfig)
+    from mmmot_tpu.data.synthetic import make_training_batch
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.train import create_train_state, train_step
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="C", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    rng = np.random.default_rng(0)
+    b = make_training_batch(rng, batch_size=2, num_slots=6,
+                            crop_size=(32, 32), points_per_det=8,
+                            drop_prob=0.2, fp_prob=0.2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    n_valid = int(np.asarray(batch["det_mask"]).sum())
+
+    state = create_train_state(net, TrainConfig(warmup_steps=0),
+                               jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+    plain_state, plain_m = jax.jit(
+        lambda s, bb, r: train_step(net, s, bb, r))(state, batch, key)
+    comp_state, comp_m = jax.jit(
+        lambda s, bb, r: train_step(net, s, bb, r,
+                                    compact_capacity=n_valid + 2))(
+        state, batch, key)
+
+    assert float(plain_m["total"]) == pytest.approx(
+        float(comp_m["total"]), rel=1e-6)
+    # BN batch statistics agree to float noise; updated params agree to
+    # ~2*lr — Adam normalises near-zero gradients to +-lr, so f32
+    # summation-order noise through the gather/scatter can flip their
+    # sign (the loss itself is bit-identical above).
+    for a, b2 in zip(jax.tree.leaves(plain_state.params),
+                     jax.tree.leaves(comp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-3)
+    for a, b2 in zip(jax.tree.leaves(plain_state.batch_stats),
+                     jax.tree.leaves(comp_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-5)
+
+    # Under-capacity drops are masked from the loss, not silently kept.
+    small_state, small_m = jax.jit(
+        lambda s, bb, r: train_step(net, s, bb, r, compact_capacity=4))(
+        state, batch, key)
+    assert np.isfinite(float(small_m["total"]))
