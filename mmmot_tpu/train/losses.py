@@ -78,7 +78,11 @@ def tracking_loss(outputs: Dict[str, jnp.ndarray],
     bce_end = _masked_bce(outputs["end"], batch["gt_end"], mask_prev)
 
     metrics = {"ce_prev": ce_prev, "ce_curr": ce_curr,
-               "bce_new": bce_new, "bce_end": bce_end}
+               "bce_new": bce_new, "bce_end": bce_end,
+               # Observability: with compact-first training this is the
+               # KEPT count — watch it against the batch's true valid
+               # count to catch capacity overflow.
+               "n_dets": jnp.sum(det_mask.astype(jnp.float32))}
     total = (w_link * (ce_prev + ce_curr)
              + w_new * bce_new + w_end * bce_end)
 
