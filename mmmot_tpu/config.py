@@ -141,6 +141,7 @@ class DataConfig:
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     point_len: int = 512
+    point_source: str = "frustum"      # frustum (2D box) | box3d (3D box)
     score_threshold: float = 0.0
     augmentation: bool = True
 

@@ -48,6 +48,9 @@ class SequenceArrays:
     gt_ids: np.ndarray          # [T, N] int32 (-1 when no GT match)
     proj: np.ndarray            # [3, 4] velodyne -> image projection
     frame_ids: np.ndarray       # [T] original frame indices
+    boxes3d: np.ndarray = None  # [T, N, 7] KITTI (h,w,l,x,y,z,ry) rect
+    has_3d: np.ndarray = None   # [T, N] bool — detection carries a 3D box
+    velo_to_rect: np.ndarray = None   # [3, 4] velodyne -> rect transform
 
 
 class KittiTrackingDataset:
@@ -120,6 +123,8 @@ class KittiTrackingDataset:
         clouds = np.zeros((T, M, 4), np.float32)
         cloud_valid = np.zeros((T, M), bool)
         boxes = np.zeros((T, N, 4), np.float32)
+        boxes3d = np.zeros((T, N, 7), np.float32)
+        has_3d = np.zeros((T, N), bool)
         det_mask = np.zeros((T, N), bool)
         scores = np.zeros((T, N), np.float32)
         gt_ids = np.full((T, N), -1, np.int32)
@@ -143,6 +148,11 @@ class KittiTrackingDataset:
                 boxes[t, n] = o.bbox
                 det_mask[t, n] = True
                 scores[t, n] = 1.0 if o.score is None else o.score
+                # KITTI 3D fields (rotation_y == -10 marks 2D-only dets).
+                if o.rotation_y > -10.0 and np.any(o.dimensions > 0):
+                    boxes3d[t, n] = np.concatenate(
+                        [o.dimensions, o.location, [o.rotation_y]])
+                    has_3d[t, n] = True
             # GT ids by one-to-one Hungarian matching on IoU (>= 0.5) so no
             # two detections can claim the same GT track (reference:
             # utils/data_util.py GT link-label generation; SURVEY.md §3.4) —
@@ -164,7 +174,10 @@ class KittiTrackingDataset:
                               gt_ids=gt_ids,
                               proj=calib.projection_matrix().astype(
                                   np.float32),
-                              frame_ids=frame_ids)
+                              frame_ids=frame_ids,
+                              boxes3d=boxes3d, has_3d=has_3d,
+                              velo_to_rect=calib.velo_to_rect_matrix()
+                              .astype(np.float32))
 
     # ------------------------------------------------------------------
     def training_pairs(self, seq: str, rng: np.random.Generator,

@@ -63,7 +63,11 @@ def frustum_sample(points: jnp.ndarray, boxes: jnp.ndarray,
     # vectorized sort network.  Keep top_k.)
     idx_rank = jnp.arange(M, dtype=jnp.int32)
     score = jnp.where(inside, M - idx_rank[None, :], 0)
-    top_scores, top_idx = jax.lax.top_k(score, P)                # [N, P]
+    k = min(P, M)                       # tiny clouds: can't take > M
+    top_scores, top_idx = jax.lax.top_k(score, k)                # [N, k]
+    if k < P:
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, P - k)))
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, P - k)))
     sample_mask = top_scores > 0
     sampled = jnp.take(points, top_idx.reshape(-1), axis=0).reshape(
         N, P, points.shape[-1])
@@ -139,6 +143,95 @@ def frustum_sample_sorted(points: jnp.ndarray, boxes: jnp.ndarray,
         xyz = (sampled[..., :3] - centroid) * smask[..., None]
         sampled = jnp.concatenate([xyz, sampled[..., 3:]], axis=-1)
     return sampled, smask
+
+
+def box3d_sample(points: jnp.ndarray, boxes3d: jnp.ndarray,
+                 num_samples: int, velo_to_rect: Optional[jnp.ndarray] = None,
+                 det_mask: Optional[jnp.ndarray] = None,
+                 point_valid: Optional[jnp.ndarray] = None,
+                 center: bool = True):
+    """Points-inside-3D-box sampling (reference: point_cloud/ extraction of
+    LiDAR points within a detection's 3D box, the alternative to frustum
+    membership when 3D detections are available; SURVEY.md §2.18).
+
+    points [M, C] (xyz + extras; velodyne frame unless ``velo_to_rect`` is
+    None and they are already rectified), boxes3d [N, 7] KITTI
+    (h, w, l, x, y, z, ry) in rect coords -> (sampled [N, P, C],
+    mask [N, P]).  Selection/centering semantics match
+    :func:`frustum_sample` (deterministic scan order, centroid-centred
+    xyz), verified against the host ``points_in_box3d`` oracle.
+    """
+    M = points.shape[0]
+    N = boxes3d.shape[0]
+    P = num_samples
+    xyz = points[:, :3]
+    if velo_to_rect is not None:
+        hom = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=-1)
+        xyz = hom @ velo_to_rect.T                               # [M, 3]
+
+    h = boxes3d[:, 0:1]
+    w = boxes3d[:, 1:2]
+    l = boxes3d[:, 2:3]
+    cx, cy, cz = boxes3d[:, 3:4], boxes3d[:, 4:5], boxes3d[:, 5:6]
+    ry = boxes3d[:, 6:7]
+    px = xyz[None, :, 0] - cx                                    # [N, M]
+    py = xyz[None, :, 1] - cy
+    pz = xyz[None, :, 2] - cz
+    c, s = jnp.cos(ry), jnp.sin(ry)
+    lx = c * px - s * pz
+    lz = s * px + c * pz
+    inside = ((jnp.abs(lx) <= l / 2) & (jnp.abs(lz) <= w / 2)
+              & (py <= 0) & (py >= -h))
+    if point_valid is not None:
+        inside = inside & point_valid[None, :]
+    if det_mask is not None:
+        inside = inside & det_mask[:, None]
+
+    idx_rank = jnp.arange(M, dtype=jnp.int32)
+    score = jnp.where(inside, M - idx_rank[None, :], 0)
+    k = min(P, M)                       # tiny clouds: can't take > M
+    top_scores, top_idx = jax.lax.top_k(score, k)                # [N, k]
+    if k < P:
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, P - k)))
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, P - k)))
+    sample_mask = top_scores > 0
+    # Emit rect-frame xyz (what the reference's prep feeds PointNet).
+    feats = (jnp.concatenate([xyz, points[:, 3:]], axis=-1)
+             if velo_to_rect is not None else points)
+    sampled = jnp.take(feats, top_idx.reshape(-1), axis=0).reshape(
+        N, P, feats.shape[-1])
+    sampled = sampled * sample_mask[..., None].astype(sampled.dtype)
+    if center:
+        cnt = jnp.maximum(jnp.sum(sample_mask, axis=-1, keepdims=True), 1)
+        centroid = (jnp.sum(sampled[..., :3] * sample_mask[..., None],
+                            axis=-2, keepdims=True) / cnt[..., None])
+        xyz_c = (sampled[..., :3] - centroid) * sample_mask[..., None]
+        sampled = jnp.concatenate([xyz_c, sampled[..., 3:]], axis=-1)
+    return sampled, sample_mask
+
+
+def box3d_sample_batched(points: jnp.ndarray, boxes3d: jnp.ndarray,
+                         num_samples: int,
+                         velo_to_rect: Optional[jnp.ndarray] = None,
+                         det_mask: Optional[jnp.ndarray] = None,
+                         point_valid: Optional[jnp.ndarray] = None,
+                         center: bool = True):
+    """points [..., M, C], boxes3d [..., N, 7] -> batched box3d_sample."""
+    lead = boxes3d.shape[:-2]
+    M, C = points.shape[-2:]
+    N = boxes3d.shape[-2]
+    B = int(np_prod(lead))
+    pf = points.reshape((B, M, C))
+    bf = boxes3d.reshape((B, N, 7))
+    dmf = (det_mask.reshape((B, N)) if det_mask is not None
+           else jnp.ones((B, N), bool))
+    pvf = (point_valid.reshape((B, M)) if point_valid is not None
+           else jnp.ones((B, M), bool))
+    fn = jax.vmap(partial(box3d_sample, num_samples=num_samples,
+                          velo_to_rect=velo_to_rect, center=center))
+    sampled, mask = fn(pf, bf, det_mask=dmf, point_valid=pvf)
+    return (sampled.reshape(lead + (N, num_samples, C)),
+            mask.reshape(lead + (N, num_samples)))
 
 
 def frustum_sample_batched(points: jnp.ndarray, boxes: jnp.ndarray,

@@ -53,14 +53,17 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     fns = {}            # (window, capacity) -> jitted fn (compile cache)
 
+    use_box3d = data_cfg.point_source == "box3d"
+
     def window_fn(W, capacity):
         key = (W, capacity)
         if key not in fns:
-            def run(im, cl, cv, bx, dm, pr, st, _cap=capacity):
+            def run(im, cl, cv, bx, b3, v2r, dm, pr, st, _cap=capacity):
                 return track_sequence_from_frames(
                     module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,
-                    return_state=True)
+                    return_state=True, boxes3d=b3, velo_to_rect=v2r,
+                    point_source=data_cfg.point_source)
 
             fns[key] = jax.jit(run)
         return fns[key]
@@ -92,19 +95,23 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             cl = np.zeros((W,) + arrs.clouds.shape[1:], np.float32)
             cv = np.zeros((W,) + arrs.cloud_valid.shape[1:], bool)
             bx = np.zeros((W, N, 4), np.float32)
+            b3 = np.zeros((W, N, 7), np.float32)
             dm = np.zeros((W, N), bool)
             n = arrs.images[sl].shape[0]
             im[:n] = arrs.images[sl]
             cl[:n] = arrs.clouds[sl]
             cv[:n] = arrs.cloud_valid[sl]
             bx[:n] = arrs.boxes[sl]
+            if use_box3d:
+                b3[:n] = arrs.boxes3d[sl]
             dm[:n] = arrs.det_mask[sl]
             out, state = f(jnp.asarray(im), jnp.asarray(cl),
                            jnp.asarray(cv), jnp.asarray(bx),
+                           jnp.asarray(b3), jnp.asarray(arrs.velo_to_rect),
                            jnp.asarray(dm), jnp.asarray(arrs.proj), state)
             out = jax.block_until_ready(out)
-            ids[sl] = np.asarray(out["ids"])[:n]
-            det_score[sl] = np.asarray(out["det_score"])[:n]
+            ids[w * W:w * W + n] = np.asarray(out["ids"])[:n]
+            det_score[w * W:w * W + n] = np.asarray(out["det_score"])[:n]
             n_dropped += int(out["n_dropped"])
         dt = time.perf_counter() - t0
         if i > 0:

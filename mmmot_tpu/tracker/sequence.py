@@ -253,7 +253,10 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                extract_chunk: int | None = None,
                                crop_window: int = 512,
                                state0=None,
-                               return_state: bool = False
+                               return_state: bool = False,
+                               boxes3d=None,
+                               velo_to_rect=None,
+                               point_source: str = "frustum"
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -276,14 +279,27 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
     from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
                                            crop_and_resize_gathered,
                                            normalize_crops)
-    from mmmot_tpu.ops.frustum import frustum_sample_batched
+    from mmmot_tpu.ops.frustum import (box3d_sample_batched,
+                                       frustum_sample_batched)
 
+    if point_source not in ("frustum", "box3d"):
+        raise ValueError(f"unknown point_source {point_source!r}")
+    use_box3d = point_source == "box3d"
+    if use_box3d and boxes3d is None:
+        raise ValueError("point_source='box3d' requires boxes3d [T, N, 7]")
     scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
 
+    def sample_points(cl, bx2d, bx3d, dm, pv):
+        if use_box3d:
+            return box3d_sample_batched(
+                cl, bx3d, points_per_det, velo_to_rect=velo_to_rect,
+                det_mask=dm, point_valid=pv)
+        return frustum_sample_batched(
+            cl, bx2d, proj, points_per_det, det_mask=dm, point_valid=pv)
+
     if compact_capacity is None:
-        points, point_mask = frustum_sample_batched(
-            clouds, boxes, proj, points_per_det, det_mask=det_mask,
-            point_valid=cloud_valid)
+        points, point_mask = sample_points(clouds, boxes, boxes3d,
+                                           det_mask, cloud_valid)
         crops = crop_and_resize_batched(
             images.astype(jnp.float32), boxes, crop_size, det_mask,
             method="mxu")
@@ -298,23 +314,24 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         idx, taken = _compact_indices(det_mask, compact_capacity)
         tsel = idx // N
         boxes_c = boxes.reshape(T * N, 4)[idx]
+        boxes3d_c = (boxes3d.reshape(T * N, 7)[idx] if use_box3d
+                     else jnp.zeros((compact_capacity, 7), jnp.float32))
 
         def ex(args):
-            # Both the crop resize AND the frustum top_k run only on the
-            # compacted valid detections (the per-slot frustum pass was
+            # Both the crop resize AND the point-membership top_k run only
+            # on the compacted valid detections (the per-slot pass was
             # ~10% of pipeline time at KITTI density).
-            ts_k, bx_k, m_k = args
+            ts_k, bx_k, b3_k, m_k = args
             crops_k = crop_and_resize_gathered(
                 images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
             crops_k = normalize_crops(crops_k, scale=scale)
             cl_k = clouds[ts_k]                       # [chunk, M, C]
             cv_k = cloud_valid[ts_k] if cloud_valid is not None else None
-            p_k, pm_k = frustum_sample_batched(
-                cl_k, bx_k[:, None, :], proj, points_per_det,
-                det_mask=m_k[:, None], point_valid=cv_k)
+            p_k, pm_k = sample_points(cl_k, bx_k[:, None, :],
+                                      b3_k[:, None, :], m_k[:, None], cv_k)
             return module.extract(crops_k, p_k[:, 0], pm_k[:, 0], m_k)
 
-        feats_c = _chunked(ex, (tsel, boxes_c, taken),
+        feats_c = _chunked(ex, (tsel, boxes_c, boxes3d_c, taken),
                            compact_capacity, extract_chunk)
         feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
         out, final = _scan_track(module, feats, kept, state0=state0)

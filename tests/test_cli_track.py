@@ -49,9 +49,15 @@ def build_kitti_tree(tmp_path):
             pc[:, 2] = rng.uniform(-1, 1, 64)
             pc.tofile(os.path.join(root, f"velodyne/{seq}/{t:06d}.bin"))
             objs.append(KittiObject(frame=t, track_id=1, obj_type="Car",
-                                    bbox=np.array([10, 10, 40, 40.0])))
+                                    bbox=np.array([10, 10, 40, 40.0]),
+                                    dimensions=np.array([2.0, 4.0, 4.0]),
+                                    location=np.array([0.0, 1.0, 15.0]),
+                                    rotation_y=0.1))
             objs.append(KittiObject(frame=t, track_id=2, obj_type="Car",
-                                    bbox=np.array([50, 8, 80, 38.0])))
+                                    bbox=np.array([50, 8, 80, 38.0]),
+                                    dimensions=np.array([2.0, 4.0, 4.0]),
+                                    location=np.array([-3.0, 1.0, 20.0]),
+                                    rotation_y=-0.2))
         write_kitti_result(objs, os.path.join(root, "label_02",
                                               f"{seq}.txt"))
         _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
@@ -93,3 +99,23 @@ def test_windowed_streaming_single_program(kitti_tree, tmp_path):
     assert set(frames) == {0, 1, 2, 3, 4}
     for objs in frames.values():
         assert all(o.track_id >= 0 for o in objs)
+
+
+def test_windowed_streaming_box3d_points(kitti_tree, tmp_path):
+    """point_source=box3d: points-in-3D-box extraction end-to-end."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree, "point_source": "box3d"}
+    base["name"] = "tiny_kitti_b3d"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "4",
+                  "--result-path", str(tmp_path / "results")])
+    assert stats["n_programs"] == 1 and stats["n_dropped"] == 0
+    res_dir = tmp_path / "results" / "tiny_kitti_b3d" / "latest"
+    assert (res_dir / "0000.txt").exists()

@@ -163,3 +163,52 @@ def test_gathered_crop_window_narrower_than_frame(img):
         i, f, b, (8, 8), window=40))(
         jnp.asarray(imgs), jnp.zeros(1, jnp.int32), jnp.asarray(boxes)))
     assert np.abs(full - win).max() < 2.0
+
+
+def test_box3d_sample_matches_host_oracle():
+    """On-device points-in-3D-box sampling == host points_in_box3d."""
+    from mmmot_tpu.data.box3d import points_in_box3d
+    from mmmot_tpu.ops.frustum import box3d_sample
+
+    rng = np.random.default_rng(9)
+    M, P = 500, 32
+    pts = np.zeros((M, 4), np.float32)
+    pts[:, 0] = rng.uniform(-10, 10, M)     # rect x
+    pts[:, 1] = rng.uniform(-3, 2, M)       # rect y (down)
+    pts[:, 2] = rng.uniform(0, 40, M)       # rect z (forward)
+    pts[:, 3] = rng.uniform(0, 1, M)
+    boxes = np.array([
+        [1.5, 1.7, 4.0, 2.0, 1.6, 15.0, 0.3],   # h w l x y z ry
+        [1.8, 0.6, 0.9, -4.0, 1.2, 8.0, -1.2],
+        [1.5, 1.7, 4.0, 100.0, 0.0, 100.0, 0.0],  # empty box
+    ], np.float32)
+
+    sampled, mask = jax.jit(lambda p, b: box3d_sample(p, b, P))(
+        jnp.asarray(pts), jnp.asarray(boxes))
+    sampled, mask = np.asarray(sampled), np.asarray(mask)
+    for k in range(len(boxes)):
+        inside = np.asarray(points_in_box3d(pts[:, :3], boxes[k]))
+        assert mask[k].sum() == min(inside.sum(), P), k
+        if inside.sum():
+            # First sampled point is the first in-box point (scan order),
+            # centred on the selection centroid.
+            sel = pts[inside][:P]
+            centroid = sel[:, :3].mean(0)
+            np.testing.assert_allclose(
+                sampled[k, 0, :3], pts[inside][0, :3] - centroid,
+                atol=1e-4)
+            assert abs(sampled[k, 0, 3] - pts[inside][0, 3]) < 1e-6
+
+
+def test_box3d_sample_velo_transform():
+    """velo_to_rect is applied before the membership test."""
+    from mmmot_tpu.ops.frustum import box3d_sample
+
+    # velo (x fwd, y left, z up) -> rect (x right, y down, z fwd).
+    T = np.array([[0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], np.float32)
+    pts_v = np.array([[15.0, -2.0, -1.0, 0.5]], np.float32)  # rect (2,1,15)
+    box = np.array([[1.5, 1.7, 4.0, 2.0, 1.6, 15.0, 0.0]], np.float32)
+    _, mask = jax.jit(lambda p, b, t: box3d_sample(p, b, 4,
+                                                   velo_to_rect=t))(
+        jnp.asarray(pts_v), jnp.asarray(box), jnp.asarray(T))
+    assert bool(np.asarray(mask)[0, 0])
