@@ -138,3 +138,42 @@ def test_gt_matching_one_to_one(kitti_tree):
 def test_missing_tree_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         KittiTrackingDataset(DataConfig(root=str(tmp_path / "nope")))
+
+
+def test_detection_pickle_conversion(tmp_path, kitti_tree):
+    """Pickle detections (both layouts) -> det txt -> dataset consumption."""
+    import pickle
+
+    from mmmot_tpu.data.det_convert import convert_detection_pickle
+
+    # Layout A: {frame: ndarray [n, 5]} with scores.
+    dets_a = {0: np.array([[100, 150, 220, 230, 0.9],
+                           [400, 160, 520, 240, 0.4]]),
+              1: np.array([[102, 151, 221, 231, 0.8]])}
+    pa = str(tmp_path / "a.pkl")
+    pickle.dump(dets_a, open(pa, "wb"))
+    det_dir = os.path.join(kitti_tree, "detections", "pointpillars")
+    os.makedirs(det_dir, exist_ok=True)
+    out_a = os.path.join(det_dir, "0000.txt")
+    n = convert_detection_pickle(pa, out_a, min_score=0.5)
+    assert n == 2                      # 0.4-score det filtered
+
+    cfg = DataConfig(root=kitti_tree, max_dets=8)
+    ds = KittiTrackingDataset(cfg, max_cloud_points=128)
+    arrs = ds.load_sequence("0000")
+    assert arrs.det_mask[0].sum() == 1 and arrs.det_mask[1].sum() == 1
+    assert arrs.scores[0, 0] == np.float32(0.9)
+
+    # Layout B: dict entries with 3D fields.
+    dets_b = {0: {"bbox": np.array([[10, 10, 40, 40.0]]),
+                  "scores": np.array([0.7]),
+                  "dimensions": np.array([[2.0, 4.0, 4.0]]),
+                  "location": np.array([[0.0, 1.0, 15.0]]),
+                  "rotation_y": np.array([0.1])}}
+    pb = str(tmp_path / "b.pkl")
+    pickle.dump(dets_b, open(pb, "wb"))
+    out_b = os.path.join(det_dir, "0000.txt")
+    convert_detection_pickle(pb, out_b)
+    arrs = ds.load_sequence("0000", max_frames=1)
+    assert bool(arrs.has_3d[0, 0])
+    np.testing.assert_allclose(arrs.boxes3d[0, 0, :3], [2.0, 4.0, 4.0])
