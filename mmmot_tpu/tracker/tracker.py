@@ -99,7 +99,10 @@ class TrackingModule:
         # leave the carried state, which feeds the next pair's masks, so
         # the scan must stay fully sequential.  None = auto.
         if parallel_assoc is None:
-            parallel_assoc = not self.assoc_cfg.use_det_scores
+            # The Pallas per-frame affinity kernel belongs to the
+            # sequential scan; batched affinity is plain XLA matmuls.
+            parallel_assoc = (not self.assoc_cfg.use_det_scores
+                              and not use_pallas_affinity)
         if parallel_assoc and self.assoc_cfg.use_det_scores:
             raise ValueError("parallel_assoc is unsound with "
                              "use_det_scores (decision-dependent state)")
