@@ -93,10 +93,11 @@ def main(argv=None):
         lambda c, p, pm, dm: track_sequence(module, c, p, pm, dm))
 
     res_dir = os.path.join(args.result_path, cfg.name, args.result_sha)
-    ev = TrackingEvaluation(cls="car")
 
     if os.path.isdir(cfg.data.root):
-        return _track_kitti(args, cfg, module, res_dir, ev, log)
+        return _track_kitti(args, cfg, module, res_dir, log)
+
+    ev = TrackingEvaluation(cls="car")
 
     total_frames = 0
     t_total = 0.0
@@ -141,7 +142,7 @@ def main(argv=None):
         log.info("metrics: %s", ev.compute().summary())
 
 
-def _track_kitti(args, cfg, module, res_dir, ev, log):
+def _track_kitti(args, cfg, module, res_dir, log):
     """Real-data path: windowed streaming over KITTI sequences.
 
     Delegates to :func:`mmmot_tpu.tracker.kitti_runner.track_kitti_sequences`

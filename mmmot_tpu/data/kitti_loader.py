@@ -89,9 +89,3 @@ class KittiPairLoader:
             yield batch
 
 
-def load_eval_sequences(cfg: DataConfig, max_frames: Optional[int] = None,
-                        max_cloud_points: int = 32768
-                        ) -> Iterator[Tuple[str, SequenceArrays]]:
-    ds = KittiTrackingDataset(cfg, max_cloud_points=max_cloud_points)
-    for seq in ds.sequences:
-        yield seq, ds.load_sequence(seq, max_frames=max_frames)

@@ -263,9 +263,15 @@ class TrackingEvaluation:
                 n_traj += 1
                 tracked = sum(1 for f in frames if g[f] >= 0)
                 coverage = tracked / len(frames)
-                if coverage >= self.mt_threshold:
+                # Devkit MT/PT/ML boundaries are STRICT on both sides
+                # (coverage > 0.8 -> MT, coverage < 0.2 -> ML, PT covers
+                # the closed interval [0.2, 0.8]).  [VERIFY against the
+                # mounted reference when available — round-1 advice
+                # claimed <= 0.2 for ML, round-2 review claims strict;
+                # strict matches the recalled devkit source.]
+                if coverage > self.mt_threshold:
                     mt += 1
-                elif coverage <= self.ml_threshold:
+                elif coverage < self.ml_threshold:
                     ml += 1
                 else:
                     pt += 1

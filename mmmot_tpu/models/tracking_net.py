@@ -150,14 +150,13 @@ class TrackingNet(nn.Module):
 
         kept_mask = None
         if compact_capacity:
+            from mmmot_tpu.ops.masking import (compact_indices,
+                                               scatter_compact)
+
             B, T_, N = det_mask.shape
             total = B * T_ * N
-            cap = min(compact_capacity, total)
-            flat = det_mask.reshape(-1)
-            order = flat.astype(jnp.int32) * (total + 1) - \
-                jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
-            _, idx = jax.lax.top_k(order, cap)
-            taken = flat[idx]
+            idx, taken = compact_indices(det_mask.reshape(-1),
+                                         compact_capacity)
 
             def g(x):
                 return None if x is None else \
@@ -165,11 +164,8 @@ class TrackingNet(nn.Module):
 
             feats_c = self.extract(g(crops), g(points), g(point_mask),
                                    taken, train=train)
-            feats = {}
-            for k, v in feats_c.items():
-                v = v * taken[:, None].astype(v.dtype)
-                full = jnp.zeros((total, v.shape[-1]), v.dtype).at[idx].set(v)
-                feats[k] = full.reshape(B, T_, N, v.shape[-1])
+            feats = {k: scatter_compact(v, idx, taken, total).reshape(
+                B, T_, N, v.shape[-1]) for k, v in feats_c.items()}
             kept_mask = jnp.zeros((total,), bool).at[idx].set(
                 taken).reshape(B, T_, N)
             det_mask = kept_mask

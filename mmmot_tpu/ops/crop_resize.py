@@ -116,6 +116,39 @@ def crop_and_resize_mxu(image: jnp.ndarray, boxes: jnp.ndarray,
     return out
 
 
+def _window_starts(boxes: jnp.ndarray, W: int, win: int):
+    """Column start of a ``win``-wide band centred on each box (clamped)."""
+    cx = 0.5 * (boxes[:, 0] + boxes[:, 2])
+    return jnp.clip(jnp.round(cx - win / 2.0), 0.0, float(W - win))
+
+
+def _band_resize(bands: jnp.ndarray, boxes: jnp.ndarray, ws: jnp.ndarray,
+                 out_size: Tuple[int, int],
+                 mask: Optional[jnp.ndarray],
+                 compute_dtype) -> jnp.ndarray:
+    """Separable MXU bilinear resize of per-detection column bands.
+
+    bands [n, H, win, C] (already sliced starting at column ``ws[n]``),
+    boxes [n, 4] in full-frame pixels -> crops [n, h, w, C].  Shared core
+    of the padded-slot windowed crop and the compact-first gathered crop —
+    both must stay numerically identical.
+    """
+    n, H, win, C = bands.shape
+    h, w = out_size
+    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    ry = jax.vmap(lambda lo, hi: _interp_matrix(lo, hi, h, H,
+                                                compute_dtype))(t, b)
+    rx = jax.vmap(lambda lo, hi, s: _interp_matrix(lo - s, hi - s, w, win,
+                                                   compute_dtype))(l, r, ws)
+    tmp = jnp.einsum("nHWc,nwW->nHwc", bands.astype(compute_dtype), rx,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nhH,nHwc->nhwc", ry.astype(jnp.float32), tmp,
+                     preferred_element_type=jnp.float32)
+    if mask is not None:
+        out = out * mask[:, None, None, None].astype(out.dtype)
+    return out
+
+
 def crop_and_resize_mxu_windowed(image: jnp.ndarray, boxes: jnp.ndarray,
                                  out_size: Tuple[int, int],
                                  mask: Optional[jnp.ndarray] = None,
@@ -132,29 +165,13 @@ def crop_and_resize_mxu_windowed(image: jnp.ndarray, boxes: jnp.ndarray,
     pick ``window`` >= the widest expected box.
     """
     H, W, C = image.shape
-    h, w = out_size
     win = min(window, W)
-    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    # Window start: centred on the box, clamped into the frame.
-    cx = 0.5 * (l + r)
-    ws = jnp.clip(jnp.round(cx - win / 2.0), 0.0, float(W - win))
+    ws = _window_starts(boxes, W, win)
     ws_i = ws.astype(jnp.int32)
-
     img = image.astype(compute_dtype)
-    slices = jax.vmap(
+    bands = jax.vmap(
         lambda s: jax.lax.dynamic_slice(img, (0, s, 0), (H, win, C)))(ws_i)
-
-    ry = jax.vmap(lambda lo, hi: _interp_matrix(lo, hi, h, H,
-                                                compute_dtype))(t, b)
-    rx = jax.vmap(lambda lo, hi, s: _interp_matrix(lo - s, hi - s, w, win,
-                                                   compute_dtype))(l, r, ws)
-    tmp = jnp.einsum("nHWc,nwW->nHwc", slices, rx,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("nhH,nHwc->nhwc", ry.astype(jnp.float32), tmp,
-                     preferred_element_type=jnp.float32)
-    if mask is not None:
-        out = out * mask[:, None, None, None].astype(out.dtype)
-    return out
+    return _band_resize(bands, boxes, ws, out_size, mask, compute_dtype)
 
 
 def crop_and_resize_gathered(images: jnp.ndarray, frame_idx: jnp.ndarray,
@@ -174,11 +191,8 @@ def crop_and_resize_gathered(images: jnp.ndarray, frame_idx: jnp.ndarray,
     clamped band contents.
     """
     T, H, W, C = images.shape
-    h, w = out_size
     win = min(window, W)
-    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    cx = 0.5 * (l + r)
-    ws = jnp.clip(jnp.round(cx - win / 2.0), 0.0, float(W - win))
+    ws = _window_starts(boxes, W, win)
     ws_i = ws.astype(jnp.int32)
 
     def slice_one(ti, si):
@@ -186,19 +200,7 @@ def crop_and_resize_gathered(images: jnp.ndarray, frame_idx: jnp.ndarray,
             images, (ti, jnp.int32(0), si, jnp.int32(0)), (1, H, win, C))[0]
 
     bands = jax.vmap(slice_one)(frame_idx.astype(jnp.int32), ws_i)
-    bands = bands.astype(compute_dtype)
-
-    ry = jax.vmap(lambda lo, hi: _interp_matrix(lo, hi, h, H,
-                                                compute_dtype))(t, b)
-    rx = jax.vmap(lambda lo, hi, s: _interp_matrix(lo - s, hi - s, w, win,
-                                                   compute_dtype))(l, r, ws)
-    tmp = jnp.einsum("nHWc,nwW->nHwc", bands, rx,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("nhH,nHwc->nhwc", ry.astype(jnp.float32), tmp,
-                     preferred_element_type=jnp.float32)
-    if mask is not None:
-        out = out * mask[:, None, None, None].astype(out.dtype)
-    return out
+    return _band_resize(bands, boxes, ws, out_size, mask, compute_dtype)
 
 
 def crop_and_resize_batched(images: jnp.ndarray, boxes: jnp.ndarray,

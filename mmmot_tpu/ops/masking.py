@@ -79,3 +79,32 @@ def masked_log_softmax(x: jnp.ndarray, mask: jnp.ndarray, axis: int = -1):
 def pair_mask(mask_a: jnp.ndarray, mask_b: jnp.ndarray):
     """Outer product of two slot masks -> [..., Na, Nb] pair validity."""
     return mask_a[..., :, None] & mask_b[..., None, :]
+
+
+def compact_indices(flat_mask: jnp.ndarray, capacity: int):
+    """Valid-first stable ordering of a flat boolean slot mask.
+
+    The core of the compact-first pipelines (inference AND training):
+    returns (idx [capacity] int32 — flat indices with valid slots first in
+    original order; taken [capacity] bool — whether idx[k] is valid).
+    ``capacity`` is clamped to the slot count.
+    """
+    total = flat_mask.shape[0]
+    capacity = min(capacity, total)
+    order_score = flat_mask.astype(jnp.int32) * (total + 1) - \
+        jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
+    _, idx = jax.lax.top_k(order_score, capacity)
+    taken = flat_mask[idx]
+    return idx.astype(jnp.int32), taken
+
+
+def scatter_compact(values: jnp.ndarray, idx: jnp.ndarray,
+                    taken: jnp.ndarray, total: int):
+    """Scatter compacted [capacity, D] rows back to flat [total, D].
+
+    Invalid rows are zeroed before the scatter so padding slots hold zeros
+    (gradients flow through the gather/scatter pair, so this is usable in
+    training too).
+    """
+    v = values * taken[:, None].astype(values.dtype)
+    return jnp.zeros((total, values.shape[-1]), values.dtype).at[idx].set(v)

@@ -21,6 +21,10 @@ import numpy as np
 from mmmot_tpu.config import DataConfig
 from mmmot_tpu.tracker.tracker import TrackingModule
 
+# Compiled window programs, shared across track_kitti_sequences calls
+# (training-loop validation re-enters every epoch with fresh variables).
+_WINDOW_FNS: dict = {}
+
 
 def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           res_dir: str,
@@ -51,25 +55,35 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     from mmmot_tpu.tracker.sequence import track_sequence_from_frames
 
-    fns = {}            # (window, capacity) -> jitted fn (compile cache)
-
     use_box3d = data_cfg.point_source == "box3d"
+    local_keys = set()
 
-    def window_fn(W, capacity):
-        key = (W, capacity)
-        if key not in fns:
-            def run(im, cl, cv, bx, b3, v2r, dm, pr, st, _cap=capacity):
+    def window_fn(W, capacity, crop_window):
+        # Cached across calls (training-loop validation runs this every
+        # epoch; the window program must not recompile when only the
+        # variables change, so variables are an ARGUMENT, not a closure).
+        key = (id(module.net), module.assoc_cfg, crop, P, chunk,
+               data_cfg.point_source, W, capacity, crop_window)
+        local_keys.add(key)
+        if key not in _WINDOW_FNS:
+            def run(variables, im, cl, cv, bx, b3, v2r, dm, pr, st,
+                    _cap=capacity, _cw=crop_window):
+                mod = TrackingModule(
+                    module.net, variables, module.assoc_cfg,
+                    use_pallas_affinity=module.use_pallas_affinity,
+                    parallel_assoc=module.parallel_assoc)
                 return track_sequence_from_frames(
-                    module, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
+                    mod, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,
                     return_state=True, boxes3d=b3, velo_to_rect=v2r,
-                    point_source=data_cfg.point_source)
+                    crop_window=_cw, point_source=data_cfg.point_source)
 
-            fns[key] = jax.jit(run)
-        return fns[key]
+            _WINDOW_FNS[key] = jax.jit(run)
+        return _WINDOW_FNS[key]
 
     ev = TrackingEvaluation(cls="car")
     per_seq = {}
+    variables = module.variables
     total_frames, t_total, n_dropped = 0, 0.0, 0
     for i, seq in enumerate(seqs):
         arrs = ds.load_sequence(seq, max_frames=max_frames)
@@ -83,7 +97,14 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
                    for w in range(n_windows))
         capacity = min(max(256, -(-(dens + chunk) // 256) * 256), W * N)
-        f = window_fn(W, capacity)
+        # Crop window: a band narrower than the widest box silently crops
+        # edge-replicated band content; size it from the data (rounded to
+        # 128 so a handful of buckets cover a dataset).
+        widths = (arrs.boxes[..., 2] - arrs.boxes[..., 0])[arrs.det_mask]
+        wmax = float(widths.max()) if widths.size else 0.0
+        crop_window = int(min(max(512, -(-wmax // 128) * 128),
+                              arrs.images.shape[2]))
+        f = window_fn(W, capacity, crop_window)
 
         state = module.init_state(N)
         ids = np.full((n_windows * W, N), -1, np.int32)
@@ -91,24 +112,29 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         t0 = time.perf_counter()
         for w in range(n_windows):
             sl = slice(w * W, (w + 1) * W)
-            im = np.zeros((W,) + arrs.images.shape[1:], arrs.images.dtype)
-            cl = np.zeros((W,) + arrs.clouds.shape[1:], np.float32)
-            cv = np.zeros((W,) + arrs.cloud_valid.shape[1:], bool)
-            bx = np.zeros((W, N, 4), np.float32)
-            b3 = np.zeros((W, N, 7), np.float32)
-            dm = np.zeros((W, N), bool)
             n = arrs.images[sl].shape[0]
-            im[:n] = arrs.images[sl]
-            cl[:n] = arrs.clouds[sl]
-            cv[:n] = arrs.cloud_valid[sl]
-            bx[:n] = arrs.boxes[sl]
-            if use_box3d:
-                b3[:n] = arrs.boxes3d[sl]
-            dm[:n] = arrs.det_mask[sl]
-            out, state = f(jnp.asarray(im), jnp.asarray(cl),
-                           jnp.asarray(cv), jnp.asarray(bx),
-                           jnp.asarray(b3), jnp.asarray(arrs.velo_to_rect),
-                           jnp.asarray(dm), jnp.asarray(arrs.proj), state)
+
+            def padded(x, fill_dtype=None):
+                # Full windows pass through without the zero-fill + copy
+                # (the copies were gigabytes per KITTI eval).
+                part = x[sl]
+                if n == W:
+                    return part
+                buf = np.zeros((W,) + x.shape[1:], x.dtype)
+                buf[:n] = part
+                return buf
+
+            b3_src = (arrs.boxes3d if use_box3d
+                      else np.zeros((T, N, 7), np.float32))
+            out, state = f(variables,
+                           jnp.asarray(padded(arrs.images)),
+                           jnp.asarray(padded(arrs.clouds)),
+                           jnp.asarray(padded(arrs.cloud_valid)),
+                           jnp.asarray(padded(arrs.boxes)),
+                           jnp.asarray(padded(b3_src)),
+                           jnp.asarray(arrs.velo_to_rect),
+                           jnp.asarray(padded(arrs.det_mask)),
+                           jnp.asarray(arrs.proj), state)
             out = jax.block_until_ready(out)
             ids[w * W:w * W + n] = np.asarray(out["ids"])[:n]
             det_score[w * W:w * W + n] = np.asarray(out["det_score"])[:n]
@@ -133,18 +159,21 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         write_kitti_result(objs, path)
         if log:
             log.info("sequence %s: %d frames in %.2fs -> %s (%d programs)",
-                     seq, T, dt, path, len(fns))
+                     seq, T, dt, path, len(local_keys))
         if evaluate:
             gt_path = os.path.join(data_cfg.root, "label_02", f"{seq}.txt")
             if os.path.exists(gt_path):
                 gt = read_kitti_tracking_labels(gt_path)
                 trk = read_kitti_tracking_labels(path)
-                ev.add_sequence(gt, trk)
+                # Score exactly the tracked range: with max_frames the GT
+                # beyond frame T would otherwise count as pure FN and
+                # corrupt validation MOTA.
+                ev.add_sequence(gt, trk, num_frames=T)
                 one = TrackingEvaluation(cls="car")
-                one.add_sequence(gt, trk)
+                one.add_sequence(gt, trk, num_frames=T)
                 per_seq[seq] = one.compute()
 
-    stats = {"n_programs": len(fns), "n_dropped": n_dropped,
+    stats = {"n_programs": len(local_keys), "n_dropped": n_dropped,
              "total_frames": total_frames,
              "fps": total_frames / max(t_total, 1e-9)}
     if n_dropped and log:

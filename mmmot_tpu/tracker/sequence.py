@@ -35,29 +35,20 @@ from mmmot_tpu.tracker.tracker import TrackingModule
 
 
 def _compact_indices(det_mask, capacity: int):
-    """Valid-first stable ordering of the flattened [T*N] slot grid.
+    """Valid-first ordering of the flattened [T, N] slot grid (shared core:
+    :func:`mmmot_tpu.ops.masking.compact_indices`)."""
+    from mmmot_tpu.ops.masking import compact_indices
 
-    Returns (idx [capacity] int32 — flat indices, valid slots first in
-    (frame, slot) order; taken [capacity] bool — whether idx[k] is valid).
-    """
-    T, N = det_mask.shape
-    capacity = min(capacity, T * N)    # can't take more slots than exist
-    flat = det_mask.reshape(-1)
-    order_score = flat.astype(jnp.int32) * (T * N + 1) - \
-        jax.lax.broadcasted_iota(jnp.int32, (T * N, 1), 0)[:, 0]
-    _, idx = jax.lax.top_k(order_score, capacity)
-    taken = flat[idx]
-    return idx.astype(jnp.int32), taken
+    return compact_indices(det_mask.reshape(-1), capacity)
 
 
 def _scatter_feats(feats_c: Dict[str, jnp.ndarray], idx, taken, T: int,
                    N: int) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Scatter compacted [capacity, D] features back to [T, N, D]."""
-    feats = {}
-    for k, v in feats_c.items():
-        v = v * taken[:, None].astype(v.dtype)
-        full = jnp.zeros((T * N, v.shape[-1]), v.dtype).at[idx].set(v)
-        feats[k] = full.reshape(T, N, v.shape[-1])
+    from mmmot_tpu.ops.masking import scatter_compact
+
+    feats = {k: scatter_compact(v, idx, taken, T * N).reshape(
+        T, N, v.shape[-1]) for k, v in feats_c.items()}
     kept = jnp.zeros((T * N,), bool).at[idx].set(taken)
     return feats, kept.reshape(T, N)
 
@@ -67,21 +58,31 @@ def _chunked(fn, args, capacity: int, chunk: int | None):
 
     Bounds peak activation memory: the conv stack only ever sees ``chunk``
     detections at once (eval-mode BN is per-element, so chunking is exact).
+    A non-divisible remainder runs as one extra smaller call (a second
+    sub-graph in the same program, not an error).
     """
     if not chunk or capacity <= chunk:
         return fn(args)
-    if capacity % chunk:
-        raise ValueError(f"capacity {capacity} not divisible by "
-                         f"chunk {chunk}")
-    nch = capacity // chunk
+    nch, rem = divmod(capacity, chunk)
+    head = capacity - rem
+
+    def is_leaf(x):
+        return x is None
+
+    def take(x, sl):
+        return None if x is None else x[sl]
 
     def resh(x):
         return (None if x is None
-                else x.reshape((nch, chunk) + x.shape[1:]))
+                else x[:head].reshape((nch, chunk) + x.shape[1:]))
 
-    out = jax.lax.map(fn, jax.tree.map(resh, args,
-                                       is_leaf=lambda x: x is None))
-    return {k: v.reshape((capacity,) + v.shape[2:]) for k, v in out.items()}
+    out = jax.lax.map(fn, jax.tree.map(resh, args, is_leaf=is_leaf))
+    out = {k: v.reshape((head,) + v.shape[2:]) for k, v in out.items()}
+    if rem:
+        tail = fn(jax.tree.map(lambda x: take(x, slice(head, None)), args,
+                               is_leaf=is_leaf))
+        out = {k: jnp.concatenate([v, tail[k]]) for k, v in out.items()}
+    return out
 
 
 def _compact_extract(module: TrackingModule, crops, points, point_mask,

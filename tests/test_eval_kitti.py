@@ -79,14 +79,23 @@ def test_ml_classification():
     assert m.ml == 1.0 and m.mt == 0.0
 
 
-def test_ml_boundary_inclusive():
-    """Coverage exactly 20% is ML, not PT (devkit uses coverage <= 0.2)."""
+def test_mt_ml_boundaries_strict():
+    """Devkit boundaries are strict: 0.2 and 0.8 coverage are both PT."""
     gt = {f: [obj(f, 1, B1)] for f in range(10)}
-    trk = {0: [obj(0, 5, B1)], 1: [obj(1, 5, B1)]}   # 2/10 = 0.2
+    trk = {f: [obj(f, 5, B1)] for f in range(2)}     # 2/10 = 0.2 -> PT
     ev = TrackingEvaluation()
     ev.add_sequence(gt, trk, num_frames=10)
     m = ev.compute()
-    assert m.ml == 1.0 and m.pt == 0.0
+    assert m.pt == 1.0 and m.ml == 0.0
+    trk8 = {f: [obj(f, 5, B1)] for f in range(8)}    # 8/10 = 0.8 -> PT
+    ev8 = TrackingEvaluation()
+    ev8.add_sequence(gt, trk8, num_frames=10)
+    m8 = ev8.compute()
+    assert m8.pt == 1.0 and m8.mt == 0.0
+    trk9 = {f: [obj(f, 5, B1)] for f in range(9)}    # 0.9 -> MT
+    ev9 = TrackingEvaluation()
+    ev9.add_sequence(gt, trk9, num_frames=10)
+    assert ev9.compute().mt == 1.0
 
 
 def test_kitti_io_roundtrip(tmp_path):
