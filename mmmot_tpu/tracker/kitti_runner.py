@@ -26,6 +26,16 @@ from mmmot_tpu.tracker.tracker import TrackingModule
 _WINDOW_FNS: dict = {}
 
 
+def _crop_window(boxes: np.ndarray, det_mask: np.ndarray,
+                 frame_width: int) -> int:
+    """Crop band width for a sequence: >= the widest valid box (a narrower
+    band silently crops edge-replicated content), rounded to 128 so a
+    handful of buckets cover a dataset, capped at the frame width."""
+    widths = (boxes[..., 2] - boxes[..., 0])[det_mask]
+    wmax = float(widths.max()) if widths.size else 0.0
+    return int(min(max(512, -(-wmax // 128) * 128), frame_width))
+
+
 def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           res_dir: str,
                           sequences: Optional[Sequence[str]] = None,
@@ -97,13 +107,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
                    for w in range(n_windows))
         capacity = min(max(256, -(-(dens + chunk) // 256) * 256), W * N)
-        # Crop window: a band narrower than the widest box silently crops
-        # edge-replicated band content; size it from the data (rounded to
-        # 128 so a handful of buckets cover a dataset).
-        widths = (arrs.boxes[..., 2] - arrs.boxes[..., 0])[arrs.det_mask]
-        wmax = float(widths.max()) if widths.size else 0.0
-        crop_window = int(min(max(512, -(-wmax // 128) * 128),
-                              arrs.images.shape[2]))
+        crop_window = _crop_window(arrs.boxes, arrs.det_mask,
+                                   arrs.images.shape[2])
         f = window_fn(W, capacity, crop_window)
 
         state = module.init_state(N)

@@ -119,3 +119,19 @@ def test_windowed_streaming_box3d_points(kitti_tree, tmp_path):
     assert stats["n_programs"] == 1 and stats["n_dropped"] == 0
     res_dir = tmp_path / "results" / "tiny_kitti_b3d" / "latest"
     assert (res_dir / "0000.txt").exists()
+
+
+def test_crop_window_sizing():
+    """Band width covers the widest box, bucketed to 128, frame-capped."""
+    from mmmot_tpu.tracker.kitti_runner import _crop_window
+
+    boxes = np.zeros((2, 3, 4), np.float32)
+    mask = np.zeros((2, 3), bool)
+    boxes[0, 0] = [100, 10, 420, 60]           # 320 wide
+    mask[0, 0] = True
+    assert _crop_window(boxes, mask, 1248) == 512      # floor
+    boxes[1, 1] = [100, 10, 800, 60]           # 700 wide
+    mask[1, 1] = True
+    assert _crop_window(boxes, mask, 1248) == 768      # rounded to 128
+    assert _crop_window(boxes, mask, 640) == 640       # frame cap
+    assert _crop_window(boxes, ~mask & False, 1248) == 512  # no valid boxes
