@@ -37,6 +37,9 @@ CROP = int(os.environ.get("MMMOT_BENCH_CROP", 224))
 # Chunk the crop+conv stage so activations stay in HBM comfortably
 # (S*CHUNK crops per conv step).
 CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 32)) or None
+# Crop band width: must cover the widest box (bench boxes are <=160 px;
+# the KITTI runner sizes this from the data per sequence).
+CROP_WINDOW = int(os.environ.get("MMMOT_BENCH_CROP_WINDOW", 512))
 
 
 def main():
@@ -84,10 +87,13 @@ def main():
         axis=-1).astype(np.float32))
 
     # Compaction capacity: sized from the actual workload (known at pack
-    # time for real KITTI too), rounded up to a chunk multiple + headroom.
+    # time for real KITTI too), rounded up to a chunk multiple.  Exact
+    # sizing matters: extraction cost is linear in capacity/chunk
+    # iterations (a full chunk of slack headroom measured -7% FPS), and
+    # the n_dropped assert below catches any undersizing.
     chunk = CHUNK or 64
     max_valid = int(det_counts.sum(axis=1).max())
-    compact = int(np.ceil((max_valid + chunk) / chunk) * chunk)
+    compact = int(np.ceil(max_valid / chunk) * chunk)
     compact = int(os.environ.get("MMMOT_BENCH_COMPACT", compact))
 
     # Init params on a small dummy batch (shapes of crops/points only).
@@ -104,7 +110,8 @@ def main():
     module = TrackingModule(net, variables, cfg.assoc)
     f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
         module, im, cl, bx, dm, proj, (CROP, CROP), P,
-        compact_capacity=compact, extract_chunk=CHUNK))
+        compact_capacity=compact, extract_chunk=CHUNK,
+        crop_window=CROP_WINDOW))
 
     # Multi-chip: shard the sequence axis over the mesh's data axis
     # (embarrassingly parallel; XLA partitions the whole pipeline).
