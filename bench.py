@@ -37,9 +37,9 @@ CROP = int(os.environ.get("MMMOT_BENCH_CROP", 224))
 # Chunk the crop+conv stage so activations stay in HBM comfortably
 # (S*CHUNK crops per conv step).
 CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 32)) or None
-# Crop band width: must cover the widest box (bench boxes are <=160 px;
-# the KITTI runner sizes this from the data per sequence).
-CROP_WINDOW = int(os.environ.get("MMMOT_BENCH_CROP_WINDOW", 512))
+# Crop band width: must cover the widest box; sized from the workload via
+# the same helper the KITTI runner uses (0 = derive from boxes).
+CROP_WINDOW = int(os.environ.get("MMMOT_BENCH_CROP_WINDOW", 0))
 
 
 def main():
@@ -108,10 +108,14 @@ def main():
         jax.random.PRNGKey(0), dummy)
 
     module = TrackingModule(net, variables, cfg.assoc)
+    from mmmot_tpu.tracker.kitti_runner import _crop_window
+
+    crop_window = CROP_WINDOW or _crop_window(
+        np.asarray(boxes), np.asarray(det_mask), W)
     f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
         module, im, cl, bx, dm, proj, (CROP, CROP), P,
         compact_capacity=compact, extract_chunk=CHUNK,
-        crop_window=CROP_WINDOW))
+        crop_window=crop_window))
 
     # Multi-chip: shard the sequence axis over the mesh's data axis
     # (embarrassingly parallel; XLA partitions the whole pipeline).
@@ -157,6 +161,7 @@ def main():
         "vs_baseline": round(fps / n_dev / BASELINE_FPS, 3),
         "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
                    "compact": compact, "chunk": CHUNK,
+                   "crop_window": crop_window,
                    "dropped_dets": dropped, "devices": n_dev,
                    "aggregate_fps": round(fps, 2)},
     }))

@@ -30,10 +30,12 @@ def _crop_window(boxes: np.ndarray, det_mask: np.ndarray,
                  frame_width: int) -> int:
     """Crop band width for a sequence: >= the widest valid box (a narrower
     band silently crops edge-replicated content), rounded to 128 so a
-    handful of buckets cover a dataset, capped at the frame width."""
+    handful of buckets cover a dataset, capped at the frame width.  The
+    floor is 256: band slicing cost is linear in the window, and typical
+    KITTI car boxes are well under 256 px wide."""
     widths = (boxes[..., 2] - boxes[..., 0])[det_mask]
     wmax = float(widths.max()) if widths.size else 0.0
-    return int(min(max(512, -(-wmax // 128) * 128), frame_width))
+    return int(min(max(256, -(-wmax // 128) * 128), frame_width))
 
 
 def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,

@@ -129,9 +129,11 @@ def test_crop_window_sizing():
     mask = np.zeros((2, 3), bool)
     boxes[0, 0] = [100, 10, 420, 60]           # 320 wide
     mask[0, 0] = True
-    assert _crop_window(boxes, mask, 1248) == 512      # floor
+    assert _crop_window(boxes, mask, 1248) == 384      # rounded to 128
     boxes[1, 1] = [100, 10, 800, 60]           # 700 wide
     mask[1, 1] = True
     assert _crop_window(boxes, mask, 1248) == 768      # rounded to 128
     assert _crop_window(boxes, mask, 640) == 640       # frame cap
-    assert _crop_window(boxes, ~mask & False, 1248) == 512  # no valid boxes
+    assert _crop_window(boxes, ~mask & False, 1248) == 256  # floor, no boxes
+    boxes[0, 0] = [100, 10, 250, 60]           # 150 wide
+    assert _crop_window(boxes[:1], mask[:1], 1248) == 256  # floor
