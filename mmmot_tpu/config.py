@@ -144,6 +144,18 @@ class DataConfig:
     point_source: str = "frustum"      # frustum (2D box) | box3d (3D box)
     score_threshold: float = 0.0
     augmentation: bool = True
+    track_class: str = "Car"           # Car | Pedestrian | Cyclist — class
+                                       # tracked/written/devkit-scored
+
+    def __post_init__(self):
+        if self.track_class not in ("Car", "Pedestrian", "Cyclist"):
+            raise ValueError(
+                f"track_class must be Car/Pedestrian/Cyclist, "
+                f"got {self.track_class!r}")
+        if self.point_source not in ("frustum", "box3d"):
+            raise ValueError(
+                f"point_source must be frustum/box3d, "
+                f"got {self.point_source!r}")
 
 
 @dataclass(frozen=True)

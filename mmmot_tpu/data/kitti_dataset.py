@@ -56,11 +56,21 @@ class SequenceArrays:
 class KittiTrackingDataset:
     """Sequence-level access to a KITTI tracking split."""
 
+    # Types grouped with each trackable class: the devkit treats the extra
+    # types as "ignored" for that class (neither TP nor FN), so tracking
+    # them alongside costs nothing and matches the reference's Car+Van
+    # handling (eval/kitti_devkit.py IGNORED_BY_CLASS).
+    CLASS_FILTERS = {"car": ("car", "van"),
+                     "pedestrian": ("pedestrian", "person_sitting"),
+                     "cyclist": ("cyclist",)}
+
     def __init__(self, cfg: DataConfig, max_cloud_points: int = 65536,
-                 class_filter: Tuple[str, ...] = ("Car", "Van")):
+                 class_filter: Optional[Tuple[str, ...]] = None):
         self.cfg = cfg
         self.root = cfg.root
         self.max_cloud_points = max_cloud_points
+        if class_filter is None:
+            class_filter = self.CLASS_FILTERS[cfg.track_class.lower()]
         self.class_filter = tuple(c.lower() for c in class_filter)
         img_root = os.path.join(self.root, "image_02")
         if not os.path.isdir(img_root):

@@ -93,7 +93,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             _WINDOW_FNS[key] = jax.jit(run)
         return _WINDOW_FNS[key]
 
-    ev = TrackingEvaluation(cls="car")
+    cls = data_cfg.track_class.lower()
+    ev = TrackingEvaluation(cls=cls)
     per_seq = {}
     variables = module.variables
     total_frames, t_total, n_dropped = 0, 0.0, 0
@@ -160,7 +161,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     continue
                 objs.append(KittiObject(
                     frame=int(arrs.frame_ids[t]), track_id=int(ids[t, n]),
-                    obj_type="Car", bbox=arrs.boxes[t, n],
+                    obj_type=data_cfg.track_class, bbox=arrs.boxes[t, n],
                     score=float(arrs.scores[t, n])))
         path = os.path.join(res_dir, f"{seq}.txt")
         write_kitti_result(objs, path)
@@ -176,7 +177,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 # beyond frame T would otherwise count as pure FN and
                 # corrupt validation MOTA.
                 ev.add_sequence(gt, trk, num_frames=T)
-                one = TrackingEvaluation(cls="car")
+                one = TrackingEvaluation(cls=cls)
                 one.add_sequence(gt, trk, num_frames=T)
                 per_seq[seq] = one.compute()
 
@@ -190,7 +191,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         m = ev.compute()
         stats["metrics"] = m
         stats["per_sequence"] = per_seq
-        with open(os.path.join(res_dir, "summary_car.txt"), "w") as fh:
+        with open(os.path.join(res_dir, f"summary_{cls}.txt"), "w") as fh:
             fh.write(m.summary_text())
         if log:
             log.info("metrics: %s", m.summary())

@@ -58,6 +58,12 @@ def build_kitti_tree(tmp_path):
                                     dimensions=np.array([2.0, 4.0, 4.0]),
                                     location=np.array([-3.0, 1.0, 20.0]),
                                     rotation_y=-0.2))
+            objs.append(KittiObject(frame=t, track_id=3,
+                                    obj_type="Pedestrian",
+                                    bbox=np.array([60, 20, 70, 44.0]),
+                                    dimensions=np.array([1.8, 0.6, 0.6]),
+                                    location=np.array([2.0, 1.0, 12.0]),
+                                    rotation_y=0.0))
         write_kitti_result(objs, os.path.join(root, "label_02",
                                               f"{seq}.txt"))
         _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
@@ -119,6 +125,35 @@ def test_windowed_streaming_box3d_points(kitti_tree, tmp_path):
     assert stats["n_programs"] == 1 and stats["n_dropped"] == 0
     res_dir = tmp_path / "results" / "tiny_kitti_b3d" / "latest"
     assert (res_dir / "0000.txt").exists()
+
+
+def test_track_class_pedestrian(kitti_tree, tmp_path):
+    """track_class=Pedestrian: dataset filters ped dets, runner writes
+    Pedestrian-typed rows, devkit scores the pedestrian class."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree, "track_class": "Pedestrian"}
+    base["name"] = "tiny_kitti_ped"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "2",
+                  "--result-path", str(tmp_path / "results")])
+    assert stats["n_dropped"] == 0
+    res_dir = tmp_path / "results" / "tiny_kitti_ped" / "latest"
+    assert (res_dir / "summary_pedestrian.txt").exists()
+    frames = read_kitti_tracking_labels(str(res_dir / "0000.txt"))
+    objs = [o for f in frames.values() for o in f]
+    assert objs and all(o.obj_type == "Pedestrian" for o in objs)
+    # One ped per frame (cars filtered out), oracle dets -> recall 1.0.
+    assert all(len(f) == 1 for f in frames.values())
+    m = stats["metrics"]
+    assert m.recall == 1.0
 
 
 def test_crop_window_sizing():
