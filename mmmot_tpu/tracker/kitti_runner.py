@@ -41,7 +41,7 @@ def _crop_window(boxes: np.ndarray, det_mask: np.ndarray,
 def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           res_dir: str,
                           sequences: Optional[Sequence[str]] = None,
-                          window: int = 64, chunk: int = 64,
+                          window: int = 64, chunk: int = 256,
                           score_threshold: float = 0.0,
                           evaluate: bool = True,
                           max_frames: Optional[int] = None,
@@ -107,9 +107,12 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # per distinct short length).
         W = window
         n_windows = max(1, -(-T // W))
+        # Exact capacity: dens is the true max valid-slot count over this
+        # sequence's windows, so no headroom is needed (extraction cost is
+        # linear in capacity; a chunk of slack measured -7% FPS in bench).
         dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
                    for w in range(n_windows))
-        capacity = min(max(256, -(-(dens + chunk) // 256) * 256), W * N)
+        capacity = min(max(256, -(-dens // 256) * 256), W * N)
         crop_window = _crop_window(arrs.boxes, arrs.det_mask,
                                    arrs.images.shape[2])
         f = window_fn(W, capacity, crop_window)
