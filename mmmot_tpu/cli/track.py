@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--window", type=int, default=64,
                    help="streaming window (frames per compiled step); "
                         "sequences of any length share one program")
+    p.add_argument("--batch-sequences", type=int, default=1,
+                   help="track this many sequences per vmapped window "
+                        "call (higher single-chip throughput; more host "
+                        "memory)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -154,7 +158,7 @@ def _track_kitti(args, cfg, module, res_dir, log):
     stats = track_kitti_sequences(
         module, cfg.data, res_dir, window=args.window,
         score_threshold=args.score_threshold, evaluate=not args.no_eval,
-        log=log)
+        batch_sequences=args.batch_sequences, log=log)
     if stats["total_frames"]:
         log.info("throughput: %.1f FPS (steady-state), %d compiled "
                  "programs", stats["fps"], stats["n_programs"])

@@ -8,13 +8,20 @@ all-invalid frames.  Valid-slot compaction capacity is quantized to
 multiples of 256 so a denser dataset costs at most a couple of extra
 compiles, never one per sequence (reference eval_seq.py pays a Python
 loop + per-frame host ILP instead; SURVEY.md §3.2).
+
+``batch_sequences`` > 1 additionally runs the windows of several sequences
+through one *vmapped* program (each sequence's TrackerState carried
+independently) — the single-chip throughput regime of bench.py (S=8:
+442 FPS vs S=1: 330 FPS at the faithful scale).  Results are identical to
+the serial path (per-sequence scans are independent); host memory grows by
+the group's sequence arrays.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -38,6 +45,22 @@ def _crop_window(boxes: np.ndarray, det_mask: np.ndarray,
     return int(min(max(256, -(-wmax // 128) * 128), frame_width))
 
 
+def _seq_plan(arrs, window: int, chunk: int) -> Dict:
+    """Per-sequence program parameters (capacity/crop-window buckets)."""
+    T, N = arrs.det_mask.shape
+    n_windows = max(1, -(-T // window))
+    # Exact capacity: dens is the true max valid-slot count over this
+    # sequence's windows, so no headroom is needed (extraction cost is
+    # linear in capacity; a chunk of slack measured -7% FPS in bench).
+    dens = max(int(arrs.det_mask[w * window:(w + 1) * window].sum())
+               for w in range(n_windows))
+    capacity = min(max(256, -(-dens // 256) * 256), window * N)
+    crop_window = _crop_window(arrs.boxes, arrs.det_mask,
+                               arrs.images.shape[2])
+    return {"n_windows": n_windows, "capacity": capacity,
+            "crop_window": crop_window}
+
+
 def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           res_dir: str,
                           sequences: Optional[Sequence[str]] = None,
@@ -45,6 +68,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           score_threshold: float = 0.0,
                           evaluate: bool = True,
                           max_frames: Optional[int] = None,
+                          batch_sequences: int = 1,
                           log=None) -> Dict:
     """Track KITTI sequences, write result txts, optionally devkit-score.
 
@@ -70,16 +94,16 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     use_box3d = data_cfg.point_source == "box3d"
     local_keys = set()
 
-    def window_fn(W, capacity, crop_window):
+    def window_fn(S_b, W, capacity, crop_window):
         # Cached across calls (training-loop validation runs this every
         # epoch; the window program must not recompile when only the
         # variables change, so variables are an ARGUMENT, not a closure).
         key = (id(module.net), module.assoc_cfg, crop, P, chunk,
-               data_cfg.point_source, W, capacity, crop_window)
+               data_cfg.point_source, S_b, W, capacity, crop_window)
         local_keys.add(key)
         if key not in _WINDOW_FNS:
-            def run(variables, im, cl, cv, bx, b3, v2r, dm, pr, st,
-                    _cap=capacity, _cw=crop_window):
+            def run_one(variables, im, cl, cv, bx, b3, v2r, dm, pr, st,
+                        _cap=capacity, _cw=crop_window):
                 mod = TrackingModule(
                     module.net, variables, module.assoc_cfg,
                     use_pallas_affinity=module.use_pallas_affinity,
@@ -90,99 +114,135 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     return_state=True, boxes3d=b3, velo_to_rect=v2r,
                     crop_window=_cw, point_source=data_cfg.point_source)
 
-            _WINDOW_FNS[key] = jax.jit(run)
+            if S_b == 1:
+                _WINDOW_FNS[key] = jax.jit(run_one)
+            else:
+                _WINDOW_FNS[key] = jax.jit(jax.vmap(
+                    run_one, in_axes=(None,) + (0,) * 9))
         return _WINDOW_FNS[key]
+
+    variables = module.variables
+    n_dropped = 0
+
+    def run_group(members: List[str]):
+        """Track a group of sequences through one (vmapped) program.
+
+        Returns [(seq, arrs, ids[T, N], det_score[T, N], dt)].
+        """
+        nonlocal n_dropped
+        arrs_l = [ds.load_sequence(s, max_frames=max_frames)
+                  for s in members]
+        plans = [_seq_plan(a, window, chunk) for a in arrs_l]
+        S_b = len(members)
+        W = window
+        N = arrs_l[0].det_mask.shape[1]
+        n_windows = max(p["n_windows"] for p in plans)
+        capacity = max(p["capacity"] for p in plans)
+        crop_window = max(p["crop_window"] for p in plans)
+        f = window_fn(S_b, W, capacity, crop_window)
+
+        def member_window(a, w, field, fill=None):
+            x = getattr(a, field) if fill is None else fill
+            T = a.det_mask.shape[0]
+            part = x[w * W:(w + 1) * W]
+            if part.shape[0] == W:
+                return part
+            buf = np.zeros((W,) + x.shape[1:], x.dtype)
+            buf[:part.shape[0]] = part
+            return buf
+
+        states = [module.init_state(N) for _ in members]
+        state = (states[0] if S_b == 1 else
+                 jax.tree.map(lambda *xs: jnp.stack(xs), *states))
+        ids = [np.full((n_windows * W, N), -1, np.int32) for _ in members]
+        det_score = [np.zeros((n_windows * W, N), np.float32)
+                     for _ in members]
+        v2r = np.stack([a.velo_to_rect for a in arrs_l])
+        proj = np.stack([a.proj for a in arrs_l])
+
+        def stacked(field, fill_fn=None):
+            outs = []
+            for a in arrs_l:
+                fill = fill_fn(a) if fill_fn is not None else None
+                outs.append(member_window(a, w, field, fill=fill))
+            return np.stack(outs)
+
+        def squeeze(x):
+            return x[0] if S_b == 1 else x
+
+        t0 = time.perf_counter()
+        for w in range(n_windows):
+            b3_fill = (None if use_box3d else (lambda a: np.zeros(
+                (a.det_mask.shape[0], N, 7), np.float32)))
+            out, state = f(variables,
+                           jnp.asarray(squeeze(stacked("images"))),
+                           jnp.asarray(squeeze(stacked("clouds"))),
+                           jnp.asarray(squeeze(stacked("cloud_valid"))),
+                           jnp.asarray(squeeze(stacked("boxes"))),
+                           jnp.asarray(squeeze(stacked(
+                               "boxes3d", fill_fn=b3_fill))),
+                           jnp.asarray(squeeze(v2r)),
+                           jnp.asarray(squeeze(stacked("det_mask"))),
+                           jnp.asarray(squeeze(proj)), state)
+            out = jax.block_until_ready(out)
+            o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
+            o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
+            for j, a in enumerate(arrs_l):
+                T = a.det_mask.shape[0]
+                n = min(W, max(0, T - w * W))
+                ids[j][w * W:w * W + n] = o_ids[j][:n]
+                det_score[j][w * W:w * W + n] = o_ds[j][:n]
+            n_dropped += int(np.asarray(out["n_dropped"]).sum())
+        dt = time.perf_counter() - t0
+        if log:
+            log.info("group %s: %d windows in %.2fs (%d programs)",
+                     ",".join(members), n_windows, dt, len(local_keys))
+        return [(s, a, i_, d_, dt / S_b)
+                for s, a, i_, d_ in zip(members, arrs_l, ids, det_score)]
 
     cls = data_cfg.track_class.lower()
     ev = TrackingEvaluation(cls=cls)
     per_seq = {}
-    variables = module.variables
-    total_frames, t_total, n_dropped = 0, 0.0, 0
-    for i, seq in enumerate(seqs):
-        arrs = ds.load_sequence(seq, max_frames=max_frames)
-        T, N = arrs.det_mask.shape
-        # Always the full window: padding frames carry no detections, so
-        # compaction makes them nearly free, and every sequence length then
-        # shares one compiled program (W = min(window, T) would recompile
-        # per distinct short length).
-        W = window
-        n_windows = max(1, -(-T // W))
-        # Exact capacity: dens is the true max valid-slot count over this
-        # sequence's windows, so no headroom is needed (extraction cost is
-        # linear in capacity; a chunk of slack measured -7% FPS in bench).
-        dens = max(int(arrs.det_mask[w * W:(w + 1) * W].sum())
-                   for w in range(n_windows))
-        capacity = min(max(256, -(-dens // 256) * 256), W * N)
-        crop_window = _crop_window(arrs.boxes, arrs.det_mask,
-                                   arrs.images.shape[2])
-        f = window_fn(W, capacity, crop_window)
-
-        state = module.init_state(N)
-        ids = np.full((n_windows * W, N), -1, np.int32)
-        det_score = np.zeros((n_windows * W, N), np.float32)
-        t0 = time.perf_counter()
-        for w in range(n_windows):
-            sl = slice(w * W, (w + 1) * W)
-            n = arrs.images[sl].shape[0]
-
-            def padded(x, fill_dtype=None):
-                # Full windows pass through without the zero-fill + copy
-                # (the copies were gigabytes per KITTI eval).
-                part = x[sl]
-                if n == W:
-                    return part
-                buf = np.zeros((W,) + x.shape[1:], x.dtype)
-                buf[:n] = part
-                return buf
-
-            b3_src = (arrs.boxes3d if use_box3d
-                      else np.zeros((T, N, 7), np.float32))
-            out, state = f(variables,
-                           jnp.asarray(padded(arrs.images)),
-                           jnp.asarray(padded(arrs.clouds)),
-                           jnp.asarray(padded(arrs.cloud_valid)),
-                           jnp.asarray(padded(arrs.boxes)),
-                           jnp.asarray(padded(b3_src)),
-                           jnp.asarray(arrs.velo_to_rect),
-                           jnp.asarray(padded(arrs.det_mask)),
-                           jnp.asarray(arrs.proj), state)
-            out = jax.block_until_ready(out)
-            ids[w * W:w * W + n] = np.asarray(out["ids"])[:n]
-            det_score[w * W:w * W + n] = np.asarray(out["det_score"])[:n]
-            n_dropped += int(out["n_dropped"])
-        dt = time.perf_counter() - t0
-        if i > 0:
-            total_frames += T
-            t_total += dt
-        keep = arrs.det_mask
-        if score_threshold > 0:
-            keep = keep & (det_score[:T] >= score_threshold)
-        objs = []
-        for t in range(T):
-            for n in range(N):
-                if not keep[t, n] or ids[t, n] < 0:
-                    continue
-                objs.append(KittiObject(
-                    frame=int(arrs.frame_ids[t]), track_id=int(ids[t, n]),
-                    obj_type=data_cfg.track_class, bbox=arrs.boxes[t, n],
-                    score=float(arrs.scores[t, n])))
-        path = os.path.join(res_dir, f"{seq}.txt")
-        write_kitti_result(objs, path)
-        if log:
-            log.info("sequence %s: %d frames in %.2fs -> %s (%d programs)",
-                     seq, T, dt, path, len(local_keys))
-        if evaluate:
-            gt_path = os.path.join(data_cfg.root, "label_02", f"{seq}.txt")
-            if os.path.exists(gt_path):
-                gt = read_kitti_tracking_labels(gt_path)
-                trk = read_kitti_tracking_labels(path)
-                # Score exactly the tracked range: with max_frames the GT
-                # beyond frame T would otherwise count as pure FN and
-                # corrupt validation MOTA.
-                ev.add_sequence(gt, trk, num_frames=T)
-                one = TrackingEvaluation(cls=cls)
-                one.add_sequence(gt, trk, num_frames=T)
-                per_seq[seq] = one.compute()
+    total_frames, t_total = 0, 0.0
+    S_b = max(1, batch_sequences)
+    groups = [seqs[i:i + S_b] for i in range(0, len(seqs), S_b)]
+    for gi, members in enumerate(groups):
+        for seq, arrs, ids, det_score, dt in run_group(members):
+            T = arrs.det_mask.shape[0]
+            if gi > 0:    # first group pays the compile; skip in FPS
+                total_frames += T
+                t_total += dt
+            keep = arrs.det_mask
+            if score_threshold > 0:
+                keep = keep & (det_score[:T] >= score_threshold)
+            objs = []
+            for t in range(T):
+                for n in range(arrs.det_mask.shape[1]):
+                    if not keep[t, n] or ids[t, n] < 0:
+                        continue
+                    objs.append(KittiObject(
+                        frame=int(arrs.frame_ids[t]),
+                        track_id=int(ids[t, n]),
+                        obj_type=data_cfg.track_class,
+                        bbox=arrs.boxes[t, n],
+                        score=float(arrs.scores[t, n])))
+            path = os.path.join(res_dir, f"{seq}.txt")
+            write_kitti_result(objs, path)
+            if log:
+                log.info("sequence %s: %d frames -> %s", seq, T, path)
+            if evaluate:
+                gt_path = os.path.join(data_cfg.root, "label_02",
+                                       f"{seq}.txt")
+                if os.path.exists(gt_path):
+                    gt = read_kitti_tracking_labels(gt_path)
+                    trk = read_kitti_tracking_labels(path)
+                    # Score exactly the tracked range: with max_frames the
+                    # GT beyond frame T would otherwise count as pure FN
+                    # and corrupt validation MOTA.
+                    ev.add_sequence(gt, trk, num_frames=T)
+                    one = TrackingEvaluation(cls=cls)
+                    one.add_sequence(gt, trk, num_frames=T)
+                    per_seq[seq] = one.compute()
 
     stats = {"n_programs": len(local_keys), "n_dropped": n_dropped,
              "total_frames": total_frames,

@@ -127,6 +127,36 @@ def test_windowed_streaming_box3d_points(kitti_tree, tmp_path):
     assert (res_dir / "0000.txt").exists()
 
 
+def test_batched_sequences_identical(kitti_tree, tmp_path):
+    """--batch-sequences 2: both sequences through ONE vmapped window
+    program, with result files identical to the serial path."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["name"] = "tiny_kitti_batched"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    s1 = main(["--config", cfg_path, "--cpu", "--window", "2",
+               "--result-path", str(tmp_path / "serial")])
+    s2 = main(["--config", cfg_path, "--cpu", "--window", "2",
+               "--batch-sequences", "2",
+               "--result-path", str(tmp_path / "batched")])
+    assert s2["n_dropped"] == 0
+    assert s2["n_programs"] == 1          # one vmapped program for both
+    for seq in ("0000", "0001"):
+        a = (tmp_path / "serial" / "tiny_kitti_batched" / "latest"
+             / f"{seq}.txt").read_text()
+        b = (tmp_path / "batched" / "tiny_kitti_batched" / "latest"
+             / f"{seq}.txt").read_text()
+        assert a == b, f"batched result differs for {seq}"
+    assert s1["metrics"].mota == s2["metrics"].mota
+
+
 def test_track_class_pedestrian(kitti_tree, tmp_path):
     """track_class=Pedestrian: dataset filters ped dets, runner writes
     Pedestrian-typed rows, devkit scores the pedestrian class."""
