@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--val-seqs", default=None,
                    help="comma-separated held-out KITTI sequences for "
                         "validation (real-data mode); default: last 25%%")
+    p.add_argument("--val-batch-sequences", type=int, default=1,
+                   help="vmap this many val sequences per window call")
     p.add_argument("--val-window", type=int, default=64,
                    help="streaming window for real-data validation")
     p.add_argument("--log-dir", default=None,
@@ -170,6 +172,7 @@ def main(argv=None):
             stats = track_kitti_sequences(
                 module, cfg.data, res_dir, sequences=val_seqs,
                 window=args.val_window, evaluate=True,
+                batch_sequences=args.val_batch_sequences,
                 max_frames=args.val_frames if args.val_frames > 0 else
                 None, log=log)
             m = stats["metrics"]
