@@ -45,7 +45,7 @@ def _crop_window(boxes: np.ndarray, det_mask: np.ndarray,
     return int(min(max(256, -(-wmax // 128) * 128), frame_width))
 
 
-def _seq_plan(arrs, window: int, chunk: int) -> Dict:
+def _seq_plan(arrs, window: int) -> Dict:
     """Per-sequence program parameters (capacity/crop-window buckets)."""
     T, N = arrs.det_mask.shape
     n_windows = max(1, -(-T // window))
@@ -99,9 +99,11 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # epoch; the window program must not recompile when only the
         # variables change, so variables are an ARGUMENT, not a closure).
         key = (id(module.net), module.assoc_cfg, crop, P, chunk,
-               data_cfg.point_source, S_b, W, capacity, crop_window)
+               data_cfg.point_source, module.use_pallas_affinity,
+               module.parallel_assoc, S_b, W, capacity, crop_window)
         local_keys.add(key)
-        if key not in _WINDOW_FNS:
+        fresh = key not in _WINDOW_FNS
+        if fresh:
             def run_one(variables, im, cl, cv, bx, b3, v2r, dm, pr, st,
                         _cap=capacity, _cw=crop_window):
                 mod = TrackingModule(
@@ -119,7 +121,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             else:
                 _WINDOW_FNS[key] = jax.jit(jax.vmap(
                     run_one, in_axes=(None,) + (0,) * 9))
-        return _WINDOW_FNS[key]
+        return _WINDOW_FNS[key], fresh
 
     variables = module.variables
     n_dropped = 0
@@ -127,23 +129,27 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     def run_group(members: List[str]):
         """Track a group of sequences through one (vmapped) program.
 
-        Returns [(seq, arrs, ids[T, N], det_score[T, N], dt)].
+        Returns ([(seq, arrs, ids[T, N], det_score[T, N])], frames_counted,
+        secs_counted); window 0 of a freshly-compiled program is excluded
+        from the throughput accounting (it pays the compile).
         """
         nonlocal n_dropped
         arrs_l = [ds.load_sequence(s, max_frames=max_frames)
                   for s in members]
-        plans = [_seq_plan(a, window, chunk) for a in arrs_l]
+        plans = [_seq_plan(a, window) for a in arrs_l]
         S_b = len(members)
         W = window
         N = arrs_l[0].det_mask.shape[1]
         n_windows = max(p["n_windows"] for p in plans)
         capacity = max(p["capacity"] for p in plans)
         crop_window = max(p["crop_window"] for p in plans)
-        f = window_fn(S_b, W, capacity, crop_window)
+        f, fresh = window_fn(S_b, W, capacity, crop_window)
 
-        def member_window(a, w, field, fill=None):
-            x = getattr(a, field) if fill is None else fill
-            T = a.det_mask.shape[0]
+        def member_window(a, w, field):
+            # Zero-copy view for full windows (the zero-fill copies were
+            # gigabytes per KITTI eval); only a trailing partial window
+            # pads into a fresh buffer.
+            x = getattr(a, field)
             part = x[w * W:(w + 1) * W]
             if part.shape[0] == W:
                 return part
@@ -151,40 +157,48 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             buf[:part.shape[0]] = part
             return buf
 
+        def stacked(field):
+            if S_b == 1:
+                return member_window(arrs_l[0], w, field)
+            return np.stack([member_window(a, w, field) for a in arrs_l])
+
         states = [module.init_state(N) for _ in members]
         state = (states[0] if S_b == 1 else
                  jax.tree.map(lambda *xs: jnp.stack(xs), *states))
         ids = [np.full((n_windows * W, N), -1, np.int32) for _ in members]
         det_score = [np.zeros((n_windows * W, N), np.float32)
                      for _ in members]
-        v2r = np.stack([a.velo_to_rect for a in arrs_l])
-        proj = np.stack([a.proj for a in arrs_l])
-
-        def stacked(field, fill_fn=None):
-            outs = []
-            for a in arrs_l:
-                fill = fill_fn(a) if fill_fn is not None else None
-                outs.append(member_window(a, w, field, fill=fill))
-            return np.stack(outs)
 
         def squeeze(x):
             return x[0] if S_b == 1 else x
 
-        t0 = time.perf_counter()
+        v2r = squeeze(np.stack([a.velo_to_rect for a in arrs_l]))
+        proj = squeeze(np.stack([a.proj for a in arrs_l]))
+        # 2D-only detections: the window program still takes a boxes3d
+        # operand; one all-zero buffer reused for every window.
+        b3_zeros = (None if use_box3d else np.zeros(
+            ((W, N, 7) if S_b == 1 else (S_b, W, N, 7)), np.float32))
+
+        frames_ctd, secs_ctd = 0, 0.0
         for w in range(n_windows):
-            b3_fill = (None if use_box3d else (lambda a: np.zeros(
-                (a.det_mask.shape[0], N, 7), np.float32)))
+            t0 = time.perf_counter()
             out, state = f(variables,
-                           jnp.asarray(squeeze(stacked("images"))),
-                           jnp.asarray(squeeze(stacked("clouds"))),
-                           jnp.asarray(squeeze(stacked("cloud_valid"))),
-                           jnp.asarray(squeeze(stacked("boxes"))),
-                           jnp.asarray(squeeze(stacked(
-                               "boxes3d", fill_fn=b3_fill))),
-                           jnp.asarray(squeeze(v2r)),
-                           jnp.asarray(squeeze(stacked("det_mask"))),
-                           jnp.asarray(squeeze(proj)), state)
+                           jnp.asarray(stacked("images")),
+                           jnp.asarray(stacked("clouds")),
+                           jnp.asarray(stacked("cloud_valid")),
+                           jnp.asarray(stacked("boxes")),
+                           jnp.asarray(stacked("boxes3d") if use_box3d
+                                       else b3_zeros),
+                           jnp.asarray(v2r),
+                           jnp.asarray(stacked("det_mask")),
+                           jnp.asarray(proj), state)
             out = jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            n_w = sum(min(W, max(0, a.det_mask.shape[0] - w * W))
+                      for a in arrs_l)
+            if not (fresh and w == 0):
+                frames_ctd += n_w
+                secs_ctd += dt
             o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
             o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
             for j, a in enumerate(arrs_l):
@@ -193,12 +207,13 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 ids[j][w * W:w * W + n] = o_ids[j][:n]
                 det_score[j][w * W:w * W + n] = o_ds[j][:n]
             n_dropped += int(np.asarray(out["n_dropped"]).sum())
-        dt = time.perf_counter() - t0
         if log:
             log.info("group %s: %d windows in %.2fs (%d programs)",
-                     ",".join(members), n_windows, dt, len(local_keys))
-        return [(s, a, i_, d_, dt / S_b)
-                for s, a, i_, d_ in zip(members, arrs_l, ids, det_score)]
+                     ",".join(members), n_windows, secs_ctd,
+                     len(local_keys))
+        return ([(s, a, i_, d_)
+                 for s, a, i_, d_ in zip(members, arrs_l, ids, det_score)],
+                frames_ctd, secs_ctd)
 
     cls = data_cfg.track_class.lower()
     ev = TrackingEvaluation(cls=cls)
@@ -206,12 +221,12 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     total_frames, t_total = 0, 0.0
     S_b = max(1, batch_sequences)
     groups = [seqs[i:i + S_b] for i in range(0, len(seqs), S_b)]
-    for gi, members in enumerate(groups):
-        for seq, arrs, ids, det_score, dt in run_group(members):
+    for members in groups:
+        results, frames_ctd, secs_ctd = run_group(members)
+        total_frames += frames_ctd
+        t_total += secs_ctd
+        for seq, arrs, ids, det_score in results:
             T = arrs.det_mask.shape[0]
-            if gi > 0:    # first group pays the compile; skip in FPS
-                total_frames += T
-                t_total += dt
             keep = arrs.det_mask
             if score_threshold > 0:
                 keep = keep & (det_score[:T] >= score_threshold)
