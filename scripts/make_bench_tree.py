@@ -1,11 +1,20 @@
-"""Fabricate a KITTI-scale tracking tree in /tmp/kitti_bench (full-res
-frames, ~12 dets/frame, 4 sequences x 200 frames)."""
+"""Fabricate a KITTI-scale tracking tree for runner benchmarking.
+
+Full-resolution 384x1248 frames, ~12 detections/frame, 4 sequences x 200
+frames (~1.3 GB).  Usage:
+
+    python scripts/make_bench_tree.py [root]
+
+then point a config's data.root at it and run the track CLI (see
+docs/PERFORMANCE.md).  Oracle mode: GT doubles as detections.
+"""
+import sys
 import os
 import numpy as np
 from PIL import Image
 from mmmot_tpu.data.kitti_io import KittiObject, write_kitti_result
 
-root = "/tmp/kitti_bench"
+root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kitti_bench"
 P2 = np.array([[720.0, 0.0, 624.0, 0.0], [0.0, 720.0, 192.0, 0.0],
                [0.0, 0.0, 1.0, 0.0]])
 rng = np.random.default_rng(7)
