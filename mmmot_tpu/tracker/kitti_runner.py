@@ -275,16 +275,28 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 if score_threshold > 0:
                     keep = keep & (det_score[:T] >= score_threshold)
                 objs = []
+                has_3d = getattr(arrs, "boxes3d", None) is not None
                 for t in range(T):
                     for n in range(arrs.det_mask.shape[1]):
                         if not keep[t, n] or ids[t, n] < 0:
                             continue
-                        objs.append(KittiObject(
+                        obj = KittiObject(
                             frame=int(arrs.frame_ids[t]),
                             track_id=int(ids[t, n]),
                             obj_type=data_cfg.track_class,
                             bbox=arrs.boxes[t, n],
-                            score=float(arrs.scores[t, n])))
+                            score=float(arrs.scores[t, n]))
+                        # Propagate the detection's 3D box (h,w,l,x,y,z,ry)
+                        # into the result line — reference results carry the
+                        # detector's 3D fields and the KITTI 3D tracking
+                        # eval reads them (SURVEY §2.14 write_kitti_result).
+                        # An all-zero row marks a 2D-only detection.
+                        if has_3d and np.any(arrs.boxes3d[t, n] != 0):
+                            b3 = arrs.boxes3d[t, n]
+                            obj.dimensions = b3[:3]
+                            obj.location = b3[3:6]
+                            obj.rotation_y = float(b3[6])
+                        objs.append(obj)
                 path = os.path.join(res_dir, f"{seq}.txt")
                 write_kitti_result(objs, path)
                 if log:

@@ -105,6 +105,11 @@ def test_windowed_streaming_single_program(kitti_tree, tmp_path):
     assert set(frames) == {0, 1, 2, 3, 4}
     for objs in frames.values():
         assert all(o.track_id >= 0 for o in objs)
+        # The detections' 3D boxes propagate into the result rows
+        # (reference results carry the detector's 3D fields; the KITTI
+        # 3D tracking eval reads them).
+        assert all(o.rotation_y > -10.0 and float(o.dimensions.max()) > 0
+                   for o in objs)
 
 
 def test_windowed_streaming_box3d_points(kitti_tree, tmp_path):
