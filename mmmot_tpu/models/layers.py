@@ -44,8 +44,9 @@ class MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             if mask is None:
-                cnt = jnp.array(
-                    float(jnp.prod(jnp.array(x.shape[:-1]))), jnp.float32)
+                import math
+
+                cnt = jnp.asarray(math.prod(x.shape[:-1]), jnp.float32)
                 s1 = jnp.sum(xf, axis=reduce_axes)
                 s2 = jnp.sum(xf * xf, axis=reduce_axes)
             else:

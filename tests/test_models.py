@@ -149,3 +149,23 @@ def test_train_mode_updates_batch_stats(net_and_vars):
     changed = any(not np.allclose(np.asarray(a), np.asarray(b))
                   for a, b in zip(before, after))
     assert changed
+
+
+def test_masked_bn_no_mask_train_under_jit():
+    """mask=None + train mode must work under jit (regression: the valid-
+    count used float() on a traced constant and raised
+    ConcretizationTypeError; every in-package call passes a mask, so only
+    external/compact all-valid use hit it)."""
+    from mmmot_tpu.models.layers import MaskedBatchNorm
+
+    bn = MaskedBatchNorm()
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 6, 3)),
+                    jnp.float32)
+    vars_ = jax.jit(lambda xx: bn.init(
+        jax.random.PRNGKey(0), xx, None, use_running_average=False))(x)
+    y, upd = jax.jit(lambda v, xx: bn.apply(
+        v, xx, None, use_running_average=False,
+        mutable=["batch_stats"]))(vars_, x)
+    # Moments over ALL positions (no mask): matches plain normalization.
+    ref = (x - x.mean((0, 1))) / np.sqrt(x.var((0, 1)) + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
