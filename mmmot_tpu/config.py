@@ -128,6 +128,10 @@ class ModelConfig:
     score_fusion: str = "add"          # how per-modality affinities combine: add|avg|fused-only
     compute_dtype: str = "float32"     # "bfloat16" on TPU for speed; f32 for parity
     param_dtype: str = "float32"
+    remat: bool = False                # gradient-checkpoint the VGG trunk
+                                       # (recompute in bwd; ~5x less
+                                       # activation memory -> bigger train
+                                       # batches / capacities)
 
 
 @dataclass(frozen=True)

@@ -80,7 +80,9 @@ class AppearanceNet(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, crops, mask=None, *, train: bool = False):
+    def __call__(self, crops, mask=None, train: bool = False):
+        # ``train`` is positional-or-keyword (not keyword-only) so the
+        # module can be wrapped in nn.checkpoint with static_argnums.
         lead = crops.shape[:-3]
         h, w, c = crops.shape[-3:]
         x = crops.reshape((-1, h, w, c)).astype(self.dtype)

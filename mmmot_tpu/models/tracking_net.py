@@ -68,8 +68,15 @@ class TrackingNet(nn.Module):
         c = self.cfg
         dt, pt = _dtype(c.compute_dtype), _dtype(c.param_dtype)
         if c.use_image:
-            self.appear_net = AppearanceNet(cfg=c.appearance, dtype=dt,
-                                            param_dtype=pt)
+            # remat: recompute the VGG trunk's activations during backward
+            # (jax.checkpoint via the lifted flax transform) — trades ~33%
+            # more conv FLOPs for ~5x less activation memory, unlocking
+            # larger train batches/capacities.  train (argnum 3, counting
+            # self) is static.
+            appear_cls = (nn.checkpoint(AppearanceNet, static_argnums=(3,))
+                          if c.remat else AppearanceNet)
+            self.appear_net = appear_cls(cfg=c.appearance, dtype=dt,
+                                         param_dtype=pt)
         if c.use_lidar:
             self.point_net = PointNet(cfg=c.point, dtype=dt, param_dtype=pt)
         self.fusion = FusionModule(cfg=c.fusion, dtype=dt, param_dtype=pt)
@@ -95,7 +102,9 @@ class TrackingNet(nn.Module):
         c = self.cfg
         img_feat = lidar_feat = None
         if c.use_image and crops is not None:
-            img_feat = self.appear_net(crops, det_mask, train=train)
+            # Positional ``train``: nn.checkpoint's static_argnums only
+            # covers positional arguments.
+            img_feat = self.appear_net(crops, det_mask, train)
         if c.use_lidar and points is not None:
             lidar_feat = self.point_net(points, point_mask, det_mask,
                                         train=train)
