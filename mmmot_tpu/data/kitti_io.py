@@ -97,12 +97,18 @@ def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
                               boxes2d: np.ndarray,
                               scores: Optional[np.ndarray] = None,
                               boxes3d: Optional[np.ndarray] = None,
-                              obj_type: str = "Car") -> List[KittiObject]:
+                              obj_type: str = "Car",
+                              frame_ids: Optional[np.ndarray] = None,
+                              has_3d: Optional[np.ndarray] = None
+                              ) -> List[KittiObject]:
     """Convert padded tracker outputs into KITTI objects.
 
     ids [T, N] int32 (-1 invalid), det_mask [T, N] bool,
     boxes2d [T, N, 4] (l, t, r, b), scores [T, N] optional,
-    boxes3d [T, N, 7] optional as (h, w, l, x, y, z, rot_y).
+    boxes3d [T, N, 7] optional as (h, w, l, x, y, z, rot_y),
+    frame_ids [T] optional KITTI frame numbers (default: the row index),
+    has_3d [T, N] optional per-detection 3D validity (default: every det
+    when boxes3d is given; 2D-only dets keep the -10 rotation sentinel).
     """
     out: List[KittiObject] = []
     T, N = ids.shape
@@ -110,10 +116,11 @@ def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
         for n in range(N):
             if not det_mask[t, n] or ids[t, n] < 0:
                 continue
-            obj = KittiObject(frame=t, track_id=int(ids[t, n]),
+            frame = int(frame_ids[t]) if frame_ids is not None else t
+            obj = KittiObject(frame=frame, track_id=int(ids[t, n]),
                               obj_type=obj_type,
                               bbox=np.asarray(boxes2d[t, n], float))
-            if boxes3d is not None:
+            if boxes3d is not None and (has_3d is None or has_3d[t, n]):
                 obj.dimensions = np.asarray(boxes3d[t, n, :3], float)
                 obj.location = np.asarray(boxes3d[t, n, 3:6], float)
                 obj.rotation_y = float(boxes3d[t, n, 6])

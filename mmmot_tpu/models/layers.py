@@ -8,6 +8,7 @@ when data-parallel).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Sequence
 
 import jax
@@ -44,8 +45,6 @@ class MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             if mask is None:
-                import math
-
                 cnt = jnp.asarray(math.prod(x.shape[:-1]), jnp.float32)
                 s1 = jnp.sum(xf, axis=reduce_axes)
                 s2 = jnp.sum(xf * xf, axis=reduce_axes)

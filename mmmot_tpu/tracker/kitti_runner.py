@@ -82,8 +82,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     import jax.numpy as jnp
 
     from mmmot_tpu.data.kitti_dataset import KittiTrackingDataset
-    from mmmot_tpu.data.kitti_io import (KittiObject,
-                                         read_kitti_tracking_labels,
+    from mmmot_tpu.data.kitti_io import (read_kitti_tracking_labels,
+                                         tracker_output_to_objects,
                                          write_kitti_result)
     from mmmot_tpu.eval import TrackingEvaluation
 
@@ -198,45 +198,69 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     jnp.asarray(stacked("det_mask", w)))
 
         shipq: queue.Queue = queue.Queue(maxsize=2)
+        stop = threading.Event()
 
         def shipper():
             try:
                 for w in range(n_windows):
-                    shipq.put((w, ship(w)))
+                    item = (w, ship(w))
+                    while not stop.is_set():
+                        try:
+                            shipq.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 shipq.put(None)
             except BaseException as e:  # surface in the consumer
-                shipq.put(e)
+                if not stop.is_set():
+                    shipq.put(e)
 
         threading.Thread(target=shipper, daemon=True).start()
 
         frames_ctd, secs_ctd = 0, 0.0
-        while True:
-            item = shipq.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            w, (im, cl, cv, bx, b3, dm) = item
-            t0 = time.perf_counter()
-            out, state = f(variables, im, cl, cv, bx, b3, v2r, dm, proj,
-                           state)
-            # The host fetch is part of the timed region: under the axon
-            # tunnel block_until_ready can resolve before execution
-            # finishes, so only the fetch gives an honest per-window time.
-            o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
-            o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
-            dt = time.perf_counter() - t0
-            n_w = sum(min(W, max(0, a.det_mask.shape[0] - w * W))
-                      for a in arrs_l)
-            if not (fresh and w == 0):
-                frames_ctd += n_w
-                secs_ctd += dt
-            for j, a in enumerate(arrs_l):
-                T = a.det_mask.shape[0]
-                n = min(W, max(0, T - w * W))
-                ids[j][w * W:w * W + n] = o_ids[j][:n]
-                det_score[j][w * W:w * W + n] = o_ds[j][:n]
-            n_dropped += int(np.asarray(out["n_dropped"]).sum())
+        try:
+            while True:
+                # The queue wait is part of the timed window: when host
+                # staging/transfer is the bottleneck the consumer idles
+                # here, and excluding it would report device-only FPS.
+                t0 = time.perf_counter()
+                item = shipq.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                w, (im, cl, cv, bx, b3, dm) = item
+                out, state = f(variables, im, cl, cv, bx, b3, v2r, dm,
+                               proj, state)
+                # The host fetch is also timed: under the axon tunnel
+                # block_until_ready can resolve before execution finishes,
+                # so only the fetch gives an honest per-window time.
+                o_ids = np.asarray(out["ids"]).reshape(S_b, W, N)
+                o_ds = np.asarray(out["det_score"]).reshape(S_b, W, N)
+                dt = time.perf_counter() - t0
+                n_w = sum(min(W, max(0, a.det_mask.shape[0] - w * W))
+                          for a in arrs_l)
+                if not (fresh and w == 0):
+                    frames_ctd += n_w
+                    secs_ctd += dt
+                for j, a in enumerate(arrs_l):
+                    T = a.det_mask.shape[0]
+                    n = min(W, max(0, T - w * W))
+                    ids[j][w * W:w * W + n] = o_ids[j][:n]
+                    det_score[j][w * W:w * W + n] = o_ds[j][:n]
+                n_dropped += int(np.asarray(out["n_dropped"]).sum())
+        finally:
+            # Unblock a shipper stuck in put() so it exits and its staged
+            # device buffers are dropped (an exception here would otherwise
+            # leak ~3 windows of pinned buffers per failed eval).
+            stop.set()
+            while True:
+                try:
+                    shipq.get_nowait()
+                except queue.Empty:
+                    break
         if log:
             log.info("group %s: %d windows in %.2fs (%d programs)",
                      ",".join(members), n_windows, secs_ctd,
@@ -274,29 +298,15 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 keep = arrs.det_mask
                 if score_threshold > 0:
                     keep = keep & (det_score[:T] >= score_threshold)
-                objs = []
-                has_3d = getattr(arrs, "boxes3d", None) is not None
-                for t in range(T):
-                    for n in range(arrs.det_mask.shape[1]):
-                        if not keep[t, n] or ids[t, n] < 0:
-                            continue
-                        obj = KittiObject(
-                            frame=int(arrs.frame_ids[t]),
-                            track_id=int(ids[t, n]),
-                            obj_type=data_cfg.track_class,
-                            bbox=arrs.boxes[t, n],
-                            score=float(arrs.scores[t, n]))
-                        # Propagate the detection's 3D box (h,w,l,x,y,z,ry)
-                        # into the result line — reference results carry the
-                        # detector's 3D fields and the KITTI 3D tracking
-                        # eval reads them (SURVEY §2.14 write_kitti_result).
-                        # An all-zero row marks a 2D-only detection.
-                        if has_3d and np.any(arrs.boxes3d[t, n] != 0):
-                            b3 = arrs.boxes3d[t, n]
-                            obj.dimensions = b3[:3]
-                            obj.location = b3[3:6]
-                            obj.rotation_y = float(b3[6])
-                        objs.append(obj)
+                # Detections' 3D boxes propagate into the result rows
+                # (reference results carry the detector's 3D fields and
+                # the KITTI 3D tracking eval reads them; SURVEY §2.14
+                # write_kitti_result); per-det validity is the dataset's
+                # has_3d mask so 2D-only dets keep the -10 sentinel.
+                objs = tracker_output_to_objects(
+                    ids[:T], keep, arrs.boxes, scores=arrs.scores,
+                    boxes3d=arrs.boxes3d, obj_type=data_cfg.track_class,
+                    frame_ids=arrs.frame_ids, has_3d=arrs.has_3d)
                 path = os.path.join(res_dir, f"{seq}.txt")
                 write_kitti_result(objs, path)
                 if log:
