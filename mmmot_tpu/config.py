@@ -150,6 +150,14 @@ class DataConfig:
     augmentation: bool = True
     track_class: str = "Car"           # Car | Pedestrian | Cyclist — class
                                        # tracked/written/devkit-scored
+    cloud_filter: str = "boxes"        # boxes: host-prefilter the scan to
+                                       # points projecting into a detection
+                                       # box (superset of the device
+                                       # frustum criterion) and shrink the
+                                       # padded M to a 4096 bucket — full
+                                       # box coverage even for >M scans,
+                                       # and far fewer host->device bytes.
+                                       # none: raw scan truncated to M.
 
     def __post_init__(self):
         if self.track_class not in ("Car", "Pedestrian", "Cyclist"):
@@ -160,6 +168,10 @@ class DataConfig:
             raise ValueError(
                 f"point_source must be frustum/box3d, "
                 f"got {self.point_source!r}")
+        if self.cloud_filter not in ("boxes", "none"):
+            raise ValueError(
+                f"cloud_filter must be boxes/none, "
+                f"got {self.cloud_filter!r}")
 
 
 @dataclass(frozen=True)

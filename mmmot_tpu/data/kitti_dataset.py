@@ -99,6 +99,29 @@ class KittiTrackingDataset:
             return np.zeros((0, 4), np.float32)
         return np.fromfile(path, np.float32).reshape(-1, 4)
 
+    @staticmethod
+    def _filter_cloud_to_boxes(pc: np.ndarray, boxes: np.ndarray,
+                               proj: np.ndarray,
+                               margin: float = 4.0) -> np.ndarray:
+        """Scan-order points whose projection falls inside any detection
+        box (dilated by ``margin`` px, depth > 0.05) — a strict superset
+        of the device frustum criterion (ops/frustum.py: inside box,
+        depth > 0.1), so on-device per-detection selection is unchanged.
+        A raw KITTI scan is ~120k azimuth-ordered points; truncating it
+        to M cuts a spatial wedge, while this keeps every box-relevant
+        point AND shrinks what ships to the chip."""
+        if len(pc) == 0 or len(boxes) == 0:
+            return pc[:0]
+        uvw = pc[:, :3] @ proj[:, :3].T + proj[:, 3]
+        w = uvw[:, 2]
+        safe_w = np.where(np.abs(w) < 1e-9, 1e-9, w)
+        u, v = uvw[:, 0] / safe_w, uvw[:, 1] / safe_w
+        inside = np.zeros(len(pc), bool)
+        for left, top, right, bottom in boxes:
+            inside |= ((u >= left - margin) & (u <= right + margin)
+                       & (v >= top - margin) & (v <= bottom + margin))
+        return pc[inside & (w > 0.05)]
+
     def _load_detections(self, seq: str) -> Dict[int, List[KittiObject]]:
         det_dir = os.path.join(self.root, "detections", self.cfg.det_source)
         path = os.path.join(det_dir, f"{seq}.txt")
@@ -130,8 +153,6 @@ class KittiTrackingDataset:
         gt = self._load_gt(seq)
 
         images = np.zeros((T, IMG_H, IMG_W, 3), np.uint8)
-        clouds = np.zeros((T, M, 4), np.float32)
-        cloud_valid = np.zeros((T, M), bool)
         boxes = np.zeros((T, N, 4), np.float32)
         boxes3d = np.zeros((T, N, 7), np.float32)
         has_3d = np.zeros((T, N), bool)
@@ -140,18 +161,29 @@ class KittiTrackingDataset:
         gt_ids = np.full((T, N), -1, np.int32)
         frame_ids = np.zeros((T,), np.int32)
 
+        # Host cloud prefilter (cfg.cloud_filter): only meaningful for the
+        # 2D-box frustum criterion — box3d selection is in 3D, where an
+        # image-plane filter could drop in-box points.
+        filter_boxes = (cfg.cloud_filter == "boxes"
+                        and cfg.point_source == "frustum")
+        proj = calib.projection_matrix().astype(np.float32)
+        pcs = []
+
         for t, fname in enumerate(frames):
             fid = int(fname.split(".")[0])
             frame_ids[t] = fid
             images[t] = self._load_image(seq, fname)
-            pc = self._load_cloud(seq, fname)[:M]
-            clouds[t, :len(pc)] = pc
-            cloud_valid[t, :len(pc)] = True
 
             objs = [o for o in dets.get(fid, [])
                     if o.obj_type.lower() in self.class_filter
                     and (o.score is None
                          or o.score >= cfg.score_threshold)][:N]
+            pc = self._load_cloud(seq, fname)
+            if filter_boxes:
+                frame_boxes = (np.stack([o.bbox for o in objs])
+                               if objs else np.zeros((0, 4), np.float32))
+                pc = self._filter_cloud_to_boxes(pc, frame_boxes, proj)
+            pcs.append(pc[:M])
             gt_objs = [o for o in gt.get(fid, [])
                        if o.obj_type.lower() in self.class_filter]
             for n, o in enumerate(objs):
@@ -178,12 +210,25 @@ class KittiTrackingDataset:
                     if ious[r, c] >= 0.5:
                         gt_ids[t, r] = gt_objs[c].track_id
 
+        # Pack clouds.  Filtered mode shrinks the padded M to a 4096
+        # bucket of the sequence's true max (fewer host->device bytes;
+        # bucketing keeps the number of distinct compiled shapes small).
+        if filter_boxes:
+            m_eff = max((len(p) for p in pcs), default=0)
+            m_eff = min(M, max(4096, -(-m_eff // 4096) * 4096))
+        else:
+            m_eff = M
+        clouds = np.zeros((T, m_eff, 4), np.float32)
+        cloud_valid = np.zeros((T, m_eff), bool)
+        for t, pc in enumerate(pcs):
+            clouds[t, :len(pc)] = pc
+            cloud_valid[t, :len(pc)] = True
+
         return SequenceArrays(images=images, clouds=clouds,
                               cloud_valid=cloud_valid, boxes=boxes,
                               det_mask=det_mask, scores=scores,
                               gt_ids=gt_ids,
-                              proj=calib.projection_matrix().astype(
-                                  np.float32),
+                              proj=proj,
                               frame_ids=frame_ids,
                               boxes3d=boxes3d, has_3d=has_3d,
                               velo_to_rect=calib.velo_to_rect_matrix()

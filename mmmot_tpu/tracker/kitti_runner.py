@@ -151,12 +151,24 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         crop_window = max(p["crop_window"] for p in plans)
         f, fresh = window_fn(S_b, W, capacity, crop_window)
 
+        # Sequences may carry different cloud paddings (cloud_filter
+        # buckets M per sequence); a vmapped group ships the group max
+        # and the clouds are padded to ONE run-level M on device (cheap
+        # eager pad), so the expensive window program never recompiles
+        # across buckets while transfers stay at the compact size.
+        M_g = max(a.clouds.shape[1] for a in arrs_l)
+
         def member_window(a, w, field):
             # Zero-copy view for full windows (the zero-fill copies were
             # gigabytes per KITTI eval); only a trailing partial window
-            # pads into a fresh buffer.
+            # or a cloud-bucket mismatch pads into a fresh buffer.
             x = getattr(a, field)
             part = x[w * W:(w + 1) * W]
+            if (field in ("clouds", "cloud_valid")
+                    and x.shape[1] != M_g):
+                buf = np.zeros((W, M_g) + x.shape[2:], x.dtype)
+                buf[:part.shape[0], :x.shape[1]] = part
+                return buf
             if part.shape[0] == W:
                 return part
             buf = np.zeros((W,) + x.shape[1:], x.dtype)
@@ -186,9 +198,15 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         b3_zeros = (None if use_box3d else jnp.zeros(
             ((W, N, 7) if S_b == 1 else (S_b, W, N, 7)), jnp.float32))
 
+        M_run = ds.max_cloud_points
+
         def ship(w):
             """Device puts for one window (JAX transfers are async — the
-            bytes stream to the chip while earlier windows execute)."""
+            bytes stream to the chip while earlier windows execute).
+            Clouds transfer at the compact filtered size; the shipper
+            thread only issues transfers — the on-device pad runs on the
+            consumer thread (a cross-thread eager-compute chain wedged
+            executions under the axon tunnel)."""
             return (jnp.asarray(stacked("images", w)),
                     jnp.asarray(stacked("clouds", w)),
                     jnp.asarray(stacked("cloud_valid", w)),
@@ -196,6 +214,17 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     (jnp.asarray(stacked("boxes3d", w)) if use_box3d
                      else b3_zeros),
                     jnp.asarray(stacked("det_mask", w)))
+
+        def pad_clouds(cl, cv):
+            """Pad compact clouds to the fixed run-level M on device, so
+            the window program keeps ONE shape across cloud buckets while
+            transfers stay at the compact size (~0.1 ms HBM copy)."""
+            if M_g == M_run:
+                return cl, cv
+            pad = M_run - M_g
+            cl = jnp.pad(cl, [(0, 0)] * (cl.ndim - 2) + [(0, pad), (0, 0)])
+            cv = jnp.pad(cv, [(0, 0)] * (cv.ndim - 1) + [(0, pad)])
+            return cl, cv
 
         shipq: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
@@ -232,6 +261,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 if isinstance(item, BaseException):
                     raise item
                 w, (im, cl, cv, bx, b3, dm) = item
+                cl, cv = pad_clouds(cl, cv)
                 out, state = f(variables, im, cl, cv, bx, b3, v2r, dm,
                                proj, state)
                 # The host fetch is also timed: under the axon tunnel

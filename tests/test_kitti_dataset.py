@@ -81,7 +81,9 @@ def kitti_tree(tmp_path):
 
 
 def test_packer_oracle_mode(kitti_tree):
-    cfg = DataConfig(root=kitti_tree, max_dets=8)
+    # cloud_filter=none: this test asserts RAW cloud packing; the default
+    # box filter is covered by test_cloud_filter_* below.
+    cfg = DataConfig(root=kitti_tree, max_dets=8, cloud_filter="none")
     ds = KittiTrackingDataset(cfg, max_cloud_points=256)
     assert ds.sequences == ["0000"]
     arrs = ds.load_sequence("0000")
@@ -177,3 +179,76 @@ def test_detection_pickle_conversion(tmp_path, kitti_tree):
     arrs = ds.load_sequence("0000", max_frames=1)
     assert bool(arrs.has_3d[0, 0])
     np.testing.assert_allclose(arrs.boxes3d[0, 0, :3], [2.0, 4.0, 4.0])
+
+
+def test_cloud_filter_preserves_frustum_samples(kitti_tree):
+    """cloud_filter='boxes': per-detection device frustum samples are
+    IDENTICAL to the unfiltered load (the host filter is a superset of
+    the device criterion, scan order preserved), the padded M shrinks to
+    a 4096 bucket, and box points beyond a raw [:M] truncation — a KITTI
+    scan is ~120k azimuth-ordered points — are recovered."""
+    import jax.numpy as jnp
+
+    from mmmot_tpu.ops.frustum import frustum_sample_batched
+
+    cfg_f = DataConfig(root=kitti_tree, max_dets=8, cloud_filter="boxes")
+    cfg_n = DataConfig(root=kitti_tree, max_dets=8, cloud_filter="none")
+    a_f = KittiTrackingDataset(cfg_f, max_cloud_points=8192).load_sequence(
+        "0000")
+    a_n = KittiTrackingDataset(cfg_n, max_cloud_points=8192).load_sequence(
+        "0000")
+    assert a_f.clouds.shape[1] == 4096          # bucketed
+    assert a_n.clouds.shape[1] == 8192          # raw M
+
+    def samples(a):
+        pts, pm = frustum_sample_batched(
+            jnp.asarray(a.clouds), jnp.asarray(a.boxes),
+            jnp.asarray(a.proj), 32, det_mask=jnp.asarray(a.det_mask),
+            point_valid=jnp.asarray(a.cloud_valid))
+        return np.asarray(pts), np.asarray(pm)
+
+    pf, mf = samples(a_f)
+    pn, mn = samples(a_n)
+    np.testing.assert_array_equal(mf, mn)
+    np.testing.assert_allclose(pf, pn, atol=1e-6)
+    # Some points survive the filter (boxes over the road ahead).
+    assert a_f.cloud_valid.sum() > 0
+
+
+def test_cloud_filter_recovers_truncated_box_points(tmp_path):
+    """A scan whose box points all sit BEYOND max_cloud_points: raw [:M]
+    truncation loses every one; the filter keeps them."""
+    from PIL import Image
+
+    root = str(tmp_path / "kitti")
+    seq = "0000"
+    for sub in ("image_02/0000", "velodyne/0000", "label_02", "calib"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    img = np.zeros((375, 1242, 3), np.uint8)
+    Image.fromarray(img).save(
+        os.path.join(root, f"image_02/{seq}/000000.png"))
+    # 5000 far-left points (outside the box), then 100 points straight
+    # ahead (inside the box) — all past an M=1024 truncation.
+    pc = np.zeros((5100, 4), np.float32)
+    pc[:5000, 0] = 10.0
+    pc[:5000, 1] = 50.0        # far left, projects outside the image
+    pc[5000:, 0] = 20.0        # straight ahead
+    pc[5000:, 2] = -1.0
+    pc.tofile(os.path.join(root, f"velodyne/{seq}/000000.bin"))
+    objs = [KittiObject(frame=0, track_id=1, obj_type="Car",
+                        bbox=np.array([500, 100, 700, 300.0]))]
+    write_kitti_result(objs, os.path.join(root, "label_02", f"{seq}.txt"))
+    _write_calib(os.path.join(root, "calib", f"{seq}.txt"))
+
+    a_n = KittiTrackingDataset(
+        DataConfig(root=root, max_dets=4, cloud_filter="none"),
+        max_cloud_points=1024).load_sequence(seq)
+    a_f = KittiTrackingDataset(
+        DataConfig(root=root, max_dets=4, cloud_filter="boxes"),
+        max_cloud_points=1024).load_sequence(seq)
+    # Raw truncation kept only out-of-box points; the filter kept the
+    # 100 in-box points.
+    assert a_n.cloud_valid.sum() == 1024
+    assert (a_n.clouds[0, :, 1] > 40).all()     # all far-left points
+    assert a_f.cloud_valid.sum() == 100
+    assert (np.abs(a_f.clouds[0, :100, 1]) < 1).all()  # the box points
