@@ -20,8 +20,13 @@ def parse_args(argv=None):
     p.add_argument("--result-path", default="results")
     p.add_argument("--result-sha", default="latest",
                    help="result subdirectory tag (reference: result_sha)")
-    p.add_argument("--sequences", type=int, default=3)
-    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--sequences", default=None,
+                   help="real-KITTI data: comma-separated sequence names "
+                        "(default all); synthetic data: sequence count "
+                        "(default 3)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="max frames per sequence (real data: default all; "
+                        "synthetic: default 30)")
     p.add_argument("--no-eval", action="store_true",
                    help="skip devkit scoring")
     p.add_argument("--score-threshold", type=float, default=0.0,
@@ -37,6 +42,11 @@ def parse_args(argv=None):
                    help="track this many sequences per vmapped window "
                         "call (higher single-chip throughput; more host "
                         "memory)")
+    p.add_argument("--dead-sensor", choices=["camera", "lidar"],
+                   default=None,
+                   help="simulate a failed sensor on the real pipeline "
+                        "(fusion keeps per-modality branches live — the "
+                        "reference's robustness story)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -105,7 +115,10 @@ def main(argv=None):
 
     total_frames = 0
     t_total = 0.0
-    for s in range(args.sequences):
+    n_seqs = int(args.sequences) if args.sequences is not None else 3
+    n_frames = args.frames if args.frames is not None else 30
+    args.frames = n_frames
+    for s in range(n_seqs):
         world = make_synthetic_sequence(
             np.random.default_rng(2000 + s), num_frames=args.frames,
             num_slots=N, crop_size=crop, points_per_det=P,
@@ -155,10 +168,12 @@ def _track_kitti(args, cfg, module, res_dir, log):
     """
     from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
 
+    seqs = (args.sequences.split(",") if args.sequences else None)
     stats = track_kitti_sequences(
-        module, cfg.data, res_dir, window=args.window,
+        module, cfg.data, res_dir, sequences=seqs, window=args.window,
         score_threshold=args.score_threshold, evaluate=not args.no_eval,
-        batch_sequences=args.batch_sequences, log=log)
+        max_frames=args.frames, batch_sequences=args.batch_sequences,
+        dead_sensor=args.dead_sensor, log=log)
     if stats["total_frames"]:
         log.info("throughput: %.1f FPS (steady-state), %d compiled "
                  "programs", stats["fps"], stats["n_programs"])

@@ -72,6 +72,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           evaluate: bool = True,
                           max_frames: Optional[int] = None,
                           batch_sequences: int = 1,
+                          dead_sensor: Optional[str] = None,
                           log=None) -> Dict:
     """Track KITTI sequences, write result txts, optionally devkit-score.
 
@@ -103,7 +104,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # variables change, so variables are an ARGUMENT, not a closure).
         key = (id(module.net), module.assoc_cfg, crop, P, chunk,
                data_cfg.point_source, module.use_pallas_affinity,
-               module.parallel_assoc, S_b, W, capacity, crop_window)
+               module.parallel_assoc, S_b, W, capacity, crop_window,
+               dead_sensor)
         local_keys.add(key)
         fresh = key not in _WINDOW_FNS
         if fresh:
@@ -117,7 +119,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     mod, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,
                     return_state=True, boxes3d=b3, velo_to_rect=v2r,
-                    crop_window=_cw, point_source=data_cfg.point_source)
+                    crop_window=_cw, point_source=data_cfg.point_source,
+                    dead_sensor=dead_sensor)
 
             if S_b == 1:
                 _WINDOW_FNS[key] = jax.jit(run_one)

@@ -257,7 +257,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                return_state: bool = False,
                                boxes3d=None,
                                velo_to_rect=None,
-                               point_source: str = "frustum"
+                               point_source: str = "frustum",
+                               dead_sensor: str | None = None
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -285,10 +286,18 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
 
     if point_source not in ("frustum", "box3d"):
         raise ValueError(f"unknown point_source {point_source!r}")
+    if dead_sensor not in (None, "camera", "lidar"):
+        raise ValueError(f"dead_sensor must be camera/lidar, "
+                         f"got {dead_sensor!r}")
     use_box3d = point_source == "box3d"
     if use_box3d and boxes3d is None:
         raise ValueError("point_source='box3d' requires boxes3d [T, N, 7]")
     scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+    # Sensor-failure robustness on the REAL pipeline (the paper's headline;
+    # fusion keeps per-modality branches live): a dead sensor's extraction
+    # stage is skipped entirely and the net runs single-modality.
+    use_cam = dead_sensor != "camera"
+    use_lidar = dead_sensor != "lidar"
 
     def sample_points(cl, bx2d, bx3d, dm, pv):
         if use_box3d:
@@ -299,12 +308,16 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
             cl, bx2d, proj, points_per_det, det_mask=dm, point_valid=pv)
 
     if compact_capacity is None:
-        points, point_mask = sample_points(clouds, boxes, boxes3d,
-                                           det_mask, cloud_valid)
-        crops = crop_and_resize_batched(
-            images.astype(jnp.float32), boxes, crop_size, det_mask,
-            method="mxu")
-        crops = normalize_crops(crops, scale=scale)
+        points = point_mask = None
+        if use_lidar:
+            points, point_mask = sample_points(clouds, boxes, boxes3d,
+                                               det_mask, cloud_valid)
+        crops = None
+        if use_cam:
+            crops = crop_and_resize_batched(
+                images.astype(jnp.float32), boxes, crop_size, det_mask,
+                method="mxu")
+            crops = normalize_crops(crops, scale=scale)
         feats = module.extract(crops, points, point_mask, det_mask)
         out, final = _scan_track(module, feats, det_mask, state0=state0)
         out["n_dropped"] = jnp.int32(0)   # per-slot path never drops
@@ -323,14 +336,22 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
             # on the compacted valid detections (the per-slot pass was
             # ~10% of pipeline time at KITTI density).
             ts_k, bx_k, b3_k, m_k = args
-            crops_k = crop_and_resize_gathered(
-                images, ts_k, bx_k, crop_size, mask=m_k, window=crop_window)
-            crops_k = normalize_crops(crops_k, scale=scale)
-            cl_k = clouds[ts_k]                       # [chunk, M, C]
-            cv_k = cloud_valid[ts_k] if cloud_valid is not None else None
-            p_k, pm_k = sample_points(cl_k, bx_k[:, None, :],
-                                      b3_k[:, None, :], m_k[:, None], cv_k)
-            return module.extract(crops_k, p_k[:, 0], pm_k[:, 0], m_k)
+            crops_k = None
+            if use_cam:
+                crops_k = crop_and_resize_gathered(
+                    images, ts_k, bx_k, crop_size, mask=m_k,
+                    window=crop_window)
+                crops_k = normalize_crops(crops_k, scale=scale)
+            p_k0 = pm_k0 = None
+            if use_lidar:
+                cl_k = clouds[ts_k]                   # [chunk, M, C]
+                cv_k = (cloud_valid[ts_k] if cloud_valid is not None
+                        else None)
+                p_k, pm_k = sample_points(cl_k, bx_k[:, None, :],
+                                          b3_k[:, None, :], m_k[:, None],
+                                          cv_k)
+                p_k0, pm_k0 = p_k[:, 0], pm_k[:, 0]
+            return module.extract(crops_k, p_k0, pm_k0, m_k)
 
         feats_c = _chunked(ex, (tsel, boxes_c, boxes3d_c, taken),
                            compact_capacity, extract_chunk)

@@ -207,3 +207,30 @@ def test_crop_window_sizing():
     assert _crop_window(boxes, ~mask & False, 1248) == 256  # floor, no boxes
     boxes[0, 0] = [100, 10, 250, 60]           # 150 wide
     assert _crop_window(boxes[:1], mask[:1], 1248) == 256  # floor
+
+
+def test_dead_sensor_real_path(kitti_tree, tmp_path):
+    """--dead-sensor camera/lidar: the raw-frames streaming pipeline runs
+    single-modality (fusion keeps per-modality branches live) and still
+    produces tracks for every frame."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["name"] = "tiny_kitti_dead"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    for sensor in ("camera", "lidar"):
+        stats = main(["--config", cfg_path, "--cpu", "--window", "4",
+                      "--dead-sensor", sensor, "--sequences", "0000",
+                      "--result-path", str(tmp_path / sensor)])
+        assert stats["n_dropped"] == 0
+        res = (tmp_path / sensor / "tiny_kitti_dead" / "latest"
+               / "0000.txt")
+        frames = read_kitti_tracking_labels(str(res))
+        assert set(frames) == {0, 1, 2, 3, 4}
