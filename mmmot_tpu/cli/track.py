@@ -115,18 +115,28 @@ def main(argv=None):
 
     total_frames = 0
     t_total = 0.0
-    n_seqs = int(args.sequences) if args.sequences is not None else 3
-    n_frames = args.frames if args.frames is not None else 30
-    args.frames = n_frames
+    try:
+        n_seqs = int(args.sequences) if args.sequences is not None else 3
+    except ValueError:
+        raise SystemExit(
+            f"--sequences {args.sequences!r}: synthetic data (no KITTI "
+            f"tree at {cfg.data.root}) expects a sequence COUNT; "
+            "sequence names apply only with real data")
+    args.frames = args.frames if args.frames is not None else 30
     for s in range(n_seqs):
         world = make_synthetic_sequence(
             np.random.default_rng(2000 + s), num_frames=args.frames,
             num_slots=N, crop_size=crop, points_per_det=P,
             drop_prob=0.05, fp_prob=0.1)
         t0 = time.perf_counter()
+        # --dead-sensor applies here too: the dead modality is simply
+        # absent (None) and the net runs single-branch.
+        dead = args.dead_sensor
         out = jax.block_until_ready(track(
-            jnp.asarray(world.crops), jnp.asarray(world.points),
-            jnp.asarray(world.point_mask), jnp.asarray(world.det_mask)))
+            None if dead == "camera" else jnp.asarray(world.crops),
+            None if dead == "lidar" else jnp.asarray(world.points),
+            None if dead == "lidar" else jnp.asarray(world.point_mask),
+            jnp.asarray(world.det_mask)))
         dt = time.perf_counter() - t0
         if s > 0:  # skip compile run in FPS accounting
             t_total += dt

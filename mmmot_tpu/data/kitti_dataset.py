@@ -183,7 +183,11 @@ class KittiTrackingDataset:
                 frame_boxes = (np.stack([o.bbox for o in objs])
                                if objs else np.zeros((0, 4), np.float32))
                 pc = self._filter_cloud_to_boxes(pc, frame_boxes, proj)
-            pcs.append(pc[:M])
+                pcs.append(pc[:M])
+            else:
+                # Copy: a [:M] VIEW would pin every raw ~120k-point scan
+                # in memory until the whole sequence is packed.
+                pcs.append(pc[:M].copy())
             gt_objs = [o for o in gt.get(fid, [])
                        if o.obj_type.lower() in self.class_filter]
             for n, o in enumerate(objs):

@@ -39,6 +39,13 @@ class FusionModule(nn.Module):
             raise ValueError("fusion needs at least one modality")
 
         if len(feats) == 1:
+            # Dead-sensor degrade: the surviving modality's raw embedding
+            # stands in for `fused`.  This path is IN-distribution when
+            # sensor-dropout augmentation is on (data/augment.py randomly
+            # kills a modality during training, exercising exactly this
+            # branch), so downstream fused-affinity heads see it during
+            # training; it also matches the reference's robustness scheme
+            # of scoring surviving branches rather than re-gating.
             fused = next(iter(feats.values()))
         elif self.cfg.variant == "A":
             cat = jnp.concatenate([image_feat, lidar_feat], axis=-1)

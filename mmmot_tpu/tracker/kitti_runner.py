@@ -183,7 +183,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 return member_window(arrs_l[0], w, field)
             return np.stack([member_window(a, w, field) for a in arrs_l])
 
-        states = [module.init_state(N) for _ in members]
+        states = [module.init_state(N, dead_sensor=dead_sensor)
+                  for _ in members]
         state = (states[0] if S_b == 1 else
                  jax.tree.map(lambda *xs: jnp.stack(xs), *states))
         ids = [np.full((n_windows * W, N), -1, np.int32) for _ in members]

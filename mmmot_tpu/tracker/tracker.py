@@ -118,12 +118,19 @@ class TrackingModule:
         return self.net.apply(self.variables, crops, points, point_mask,
                               det_mask, train=False, method=self.net.extract)
 
-    def init_state(self, num_slots: int) -> TrackerState:
+    def init_state(self, num_slots: int,
+                   dead_sensor: str | None = None) -> TrackerState:
+        """Zero TrackerState whose feats pytree matches what the forward
+        will produce — with ``dead_sensor`` set, the dead modality's
+        branch is absent (a mismatched carry structure breaks lax.scan
+        and forces window-program recompiles)."""
         c = self.net.cfg
         dims = {"fused": c.fusion.out_dim}
         if c.fusion.keep_single and c.use_image and c.use_lidar:
-            dims["image"] = c.appearance.out_dim
-            dims["lidar"] = c.point.out_dim
+            if dead_sensor != "camera":
+                dims["image"] = c.appearance.out_dim
+            if dead_sensor != "lidar":
+                dims["lidar"] = c.point.out_dim
         return init_state(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):

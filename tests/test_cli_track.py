@@ -234,3 +234,16 @@ def test_dead_sensor_real_path(kitti_tree, tmp_path):
                / "0000.txt")
         frames = read_kitti_tracking_labels(str(res))
         assert set(frames) == {0, 1, 2, 3, 4}
+
+    # Sequential-scan variant (use_det_scores forces it): the carried
+    # TrackerState's feats pytree must match the single-modality forward
+    # (regression: init_state carried the dead branch and lax.scan
+    # rejected the carry structure).
+    base["assoc"] = {"solver": "auction", "use_det_scores": True}
+    base["name"] = "tiny_kitti_dead_seq"
+    cfg_path2 = str(tmp_path / "config2.yaml")
+    yaml.safe_dump(base, open(cfg_path2, "w"))
+    stats = main(["--config", cfg_path2, "--cpu", "--window", "4",
+                  "--dead-sensor", "camera", "--sequences", "0000",
+                  "--result-path", str(tmp_path / "seqscan")])
+    assert stats["n_dropped"] == 0
