@@ -247,3 +247,56 @@ def test_dead_sensor_real_path(kitti_tree, tmp_path):
                   "--dead-sensor", "camera", "--sequences", "0000",
                   "--result-path", str(tmp_path / "seqscan")])
     assert stats["n_dropped"] == 0
+
+
+def test_batched_sequences_mixed_cloud_buckets(kitti_tree, tmp_path,
+                                               monkeypatch):
+    """A vmapped group whose members carry DIFFERENT cloud paddings
+    (cloud_filter buckets M per sequence) must harmonize shapes and give
+    results identical to the uniform-padding run."""
+    import dataclasses
+
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_dataset import KittiTrackingDataset
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["name"] = "tiny_kitti_mixm"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    ref = main(["--config", cfg_path, "--cpu", "--window", "2",
+                "--batch-sequences", "2",
+                "--result-path", str(tmp_path / "uniform")])
+
+    orig = KittiTrackingDataset.load_sequence
+
+    def padded(self, seq, **kw):
+        a = orig(self, seq, **kw)
+        if seq == "0001":
+            # Same content, wider zero padding -> different per-member M.
+            import numpy as np
+
+            T, M = a.cloud_valid.shape
+            cl = np.zeros((T, M + 128, 4), np.float32)
+            cv = np.zeros((T, M + 128), bool)
+            cl[:, :M] = a.clouds
+            cv[:, :M] = a.cloud_valid
+            a = dataclasses.replace(a, clouds=cl, cloud_valid=cv)
+        return a
+
+    monkeypatch.setattr(KittiTrackingDataset, "load_sequence", padded)
+    mix = main(["--config", cfg_path, "--cpu", "--window", "2",
+                "--batch-sequences", "2",
+                "--result-path", str(tmp_path / "mixed")])
+    assert mix["n_dropped"] == 0
+    for seq in ("0000", "0001"):
+        a = (tmp_path / "uniform" / "tiny_kitti_mixm" / "latest"
+             / f"{seq}.txt").read_text()
+        b = (tmp_path / "mixed" / "tiny_kitti_mixm" / "latest"
+             / f"{seq}.txt").read_text()
+        assert a == b, f"mixed-bucket result differs for {seq}"
+    assert ref["metrics"].mota == mix["metrics"].mota
