@@ -122,6 +122,9 @@ def main(argv=None):
             f"--sequences {args.sequences!r}: synthetic data (no KITTI "
             f"tree at {cfg.data.root}) expects a sequence COUNT; "
             "sequence names apply only with real data")
+    if args.batch_sequences > 1:
+        log.warning("--batch-sequences is ignored with synthetic data "
+                    "(sequences run serially here)")
     args.frames = args.frames if args.frames is not None else 30
     for s in range(n_seqs):
         world = make_synthetic_sequence(

@@ -133,6 +133,26 @@ class ModelConfig:
                                        # activation memory -> bigger train
                                        # batches / capacities)
 
+    def __post_init__(self):
+        # Single-modality operation (dead sensor; keep_single branches)
+        # substitutes the surviving branch's raw embedding for ``fused``,
+        # and downstream heads + the scan-carry TrackerState are built for
+        # fusion.out_dim — mismatched branch dims would surface later as an
+        # opaque shape error deep in apply/scan, so reject them here.
+        if self.fusion.keep_single:
+            if self.use_image and self.appearance.out_dim != self.fusion.out_dim:
+                raise ValueError(
+                    f"appearance.out_dim={self.appearance.out_dim} must "
+                    f"equal fusion.out_dim={self.fusion.out_dim} when "
+                    "keep_single is on (single-modality operation feeds "
+                    "the branch embedding to fused-dim heads)")
+            if self.use_lidar and self.point.out_dim != self.fusion.out_dim:
+                raise ValueError(
+                    f"point.out_dim={self.point.out_dim} must equal "
+                    f"fusion.out_dim={self.fusion.out_dim} when "
+                    "keep_single is on (single-modality operation feeds "
+                    "the branch embedding to fused-dim heads)")
+
 
 @dataclass(frozen=True)
 class DataConfig:

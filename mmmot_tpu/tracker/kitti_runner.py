@@ -92,6 +92,17 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     P = data_cfg.point_len
     ds = KittiTrackingDataset(data_cfg, max_cloud_points=32768)
     seqs = list(sequences) if sequences is not None else ds.sequences
+    unknown = [s for s in seqs if s not in set(ds.sequences)]
+    if unknown:
+        # A numeric --sequences value here is usually the synthetic-mode
+        # COUNT applied to real data by mistake (ADVICE r2).
+        hint = (" (--sequences takes sequence NAMES for real KITTI data; "
+                "a COUNT applies only to synthetic data)"
+                if any(u.isdigit() and u not in ds.sequences
+                       for u in unknown) else "")
+        raise SystemExit(
+            f"unknown sequence name(s) {unknown}; available: "
+            f"{ds.sequences}{hint}")
 
     from mmmot_tpu.tracker.sequence import track_sequence_from_frames
 
@@ -102,7 +113,11 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # Cached across calls (training-loop validation runs this every
         # epoch; the window program must not recompile when only the
         # variables change, so variables are an ARGUMENT, not a closure).
-        key = (id(module.net), module.assoc_cfg, crop, P, chunk,
+        # Keyed on the model CONFIG, not id(net): CPython reuses ids after
+        # GC, so a fresh net allocated at a dead net's address would hit a
+        # stale program compiled for a different architecture; equal-config
+        # nets are interchangeable templates (variables are an argument).
+        key = (module.net.cfg, module.assoc_cfg, crop, P, chunk,
                data_cfg.point_source, module.use_pallas_affinity,
                module.parallel_assoc, S_b, W, capacity, crop_window,
                dead_sensor)
@@ -233,24 +248,29 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         shipq: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
 
+        def put_checked(item):
+            """Bounded put that gives up once the consumer has stopped, so
+            no sentinel/buffers land on a dead queue (ADVICE r2)."""
+            while not stop.is_set():
+                try:
+                    shipq.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def shipper():
             try:
                 for w in range(n_windows):
-                    item = (w, ship(w))
-                    while not stop.is_set():
-                        try:
-                            shipq.put(item, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_checked((w, ship(w))):
                         return
-                shipq.put(None)
+                put_checked(None)
             except BaseException as e:  # surface in the consumer
                 if not stop.is_set():
                     shipq.put(e)
 
-        threading.Thread(target=shipper, daemon=True).start()
+        ship_thread = threading.Thread(target=shipper, daemon=True)
+        ship_thread.start()
 
         frames_ctd, secs_ctd = 0, 0.0
         try:
@@ -288,8 +308,16 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         finally:
             # Unblock a shipper stuck in put() so it exits and its staged
             # device buffers are dropped (an exception here would otherwise
-            # leak ~3 windows of pinned buffers per failed eval).
+            # leak ~3 windows of pinned buffers per failed eval).  Join the
+            # thread BEFORE the final drain so no late put can strand
+            # buffers on the dead queue (ADVICE r2).
             stop.set()
+            while True:
+                try:
+                    shipq.get_nowait()
+                except queue.Empty:
+                    break
+            ship_thread.join(timeout=30.0)
             while True:
                 try:
                     shipq.get_nowait()
@@ -352,11 +380,17 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                         gt = read_kitti_tracking_labels(gt_path)
                         trk = read_kitti_tracking_labels(path)
                         # Score exactly the tracked range: with max_frames the
-                        # GT beyond frame T would otherwise count as pure FN
-                        # and corrupt validation MOTA.
-                        ev.add_sequence(gt, trk, num_frames=T)
+                        # GT beyond the last tracked frame would otherwise
+                        # count as pure FN and corrupt validation MOTA.  The
+                        # bound comes from the true KITTI frame numbers, not
+                        # the loaded count — a tree with frame-file gaps has
+                        # frame_ids[-1] + 1 > T and result rows beyond T
+                        # would silently drop from scoring (ADVICE r2).
+                        nf = (int(arrs.frame_ids[-1]) + 1
+                              if len(arrs.frame_ids) else T)
+                        ev.add_sequence(gt, trk, num_frames=nf)
                         one = TrackingEvaluation(cls=cls)
-                        one.add_sequence(gt, trk, num_frames=T)
+                        one.add_sequence(gt, trk, num_frames=nf)
                         per_seq[seq] = one.compute()
 
     finally:
