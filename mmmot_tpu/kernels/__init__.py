@@ -1,2 +1,3 @@
-from mmmot_tpu.kernels.affinity_kernel import (fold_bn_into_dense,
-                                               pallas_link_scores)
+from mmmot_tpu.kernels.affinity_kernel import (build_affinity_params,
+                                               pallas_affinity,
+                                               pallas_supported)

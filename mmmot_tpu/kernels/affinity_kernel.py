@@ -1,43 +1,50 @@
-"""Pallas TPU kernel: fused correlation + link-score head.
+"""Pallas TPU kernel: the full fused association-cost tensor.
 
-The association cost tensor is the tracker's per-frame hot op
-(BASELINE.json north star: "the cross-frame affinity scorer (correlation +
+BASELINE.json north star: "the cross-frame affinity scorer (correlation +
 start/end/link heads) runs as a single Pallas kernel producing the full
-association cost tensor").  The XLA path materialises the pairwise
-correlation tensor ``[N, N, D]`` and the hidden activations ``[N, N, H]`` in
-HBM between ops; this kernel keeps both entirely in VMEM:
+association cost tensor".  This kernel computes, for a batch of frame
+pairs, everything between the per-detection embeddings and the LP solver:
 
-    for each row-block of prev detections (grid dim 0):
-        pair   = op(a_block[:, None, :], b[None, :, :])   # VPU, VMEM only
-        hidden = relu(pair @ W1 + b1)                      # MXU
-        link   = hidden @ w2 + b2                          # MXU
-        out_block[:, :] = link
+    for every branch k (fused / image / lidar):
+        pair_k   = op(a_k[:, None, :], b_k[None, :, :])    # VPU, VMEM only
+        hidden_k = relu(BN_eval(pair_k @ W1_k + b1_k))     # MXU
+        score_k  = hidden_k @ w2_k + b2_k                  # MXU
+    link      = mask * combine_k(score_k)                  # add | avg
+    link_norm = dual masked softmax(link)                  # rows + cols
+    new       = MLP([b_fused | colpool(link)])             # birth head (v2)
+    end       = MLP([a_fused | rowpool(link)])             # death head (v2)
 
-Inference BatchNorm folds into (W1, b1) beforehand (:func:`fold_bn_into_dense`),
-matching the XLA eval path bit-for-bit up to dot-product reassociation.
+The XLA path (models/affinity.py + models/new_end.py) materialises the
+pairwise tensor ``[B, N, N, len(ops)*D]`` and the hidden activations
+``[B, N, N, H]`` in HBM between ops — ~0.5 GB of HBM traffic per 64-frame
+window at the flagship scale; here both live only in VMEM, one row-block
+at a time.
 
-Correlation ops supported: ``subabs`` (|a-b|), ``mul``, ``diff`` — selected
-statically; multiple ops concatenate along the feature axis like the XLA
-path (models/affinity.py correlation_tensor).
+Numerics mirror the XLA eval path op-for-op (same dtype journey: dots with
+f32 MXU accumulation cast back to the compute dtype, eval BatchNorm applied
+explicitly in f32 — NOT folded into the Dense — then relu in compute
+dtype), so f32 outputs match the XLA path to float-associativity and bf16
+outputs track the bf16 XLA path.  Supported: ``num_layers=2``,
+``gnn_rounds=0`` (the flagship affinity), new/end ``version=2``, all pool
+modes (max/mean/softmax) and softmax modes (dual/single/none); anything
+else falls back to the XLA path upstream (tracker/tracker.py).
+
+Reference anchors: models/gcn.py (correlation + link head), models/
+new_end.py NewEndIndicator_v2, tracking_net.py score fusion — SURVEY.md
+§2.8/§2.9.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def fold_bn_into_dense(kernel, bias, scale, bn_bias, mean, var,
-                       eps: float = 1e-5):
-    """Fold eval-mode BN(y) = (y - mean) * rsqrt(var+eps) * scale + bn_bias
-    into the preceding Dense: returns (kernel', bias')."""
-    inv = scale / jnp.sqrt(var + eps)
-    return kernel * inv[None, :], (bias - mean) * inv + bn_bias
+NEG_INF = -1e9  # matches ops/masking.py (finite: NaN-free masked softmax)
 
 
 def _corr(a, b, op: str):
@@ -47,82 +54,282 @@ def _corr(a, b, op: str):
         return a * b
     if op == "diff":
         return a - b
+    if op == "cosine":
+        an = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-8)
+        bn = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-8)
+        return an * bn
     raise ValueError(f"unsupported correlation op for pallas kernel: {op!r}")
 
 
-def _kernel(a_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
-            ops: Tuple[str, ...], block_rows: int):
-    a = a_ref[:]                      # [BR, D]
-    b = b_ref[:]                      # [N, D]
-    n = b.shape[0]
-    d = a.shape[1]
-    br = a.shape[0]
-
-    # Pairwise correlation features, kept in VMEM: [BR*N, len(ops)*D].
-    pieces = []
-    for op in ops:
-        c = _corr(a[:, None, :], b[None, :, :], op)      # [BR, N, D]
-        pieces.append(c.reshape(br * n, d))
-    pair = (jnp.concatenate(pieces, axis=-1) if len(pieces) > 1
-            else pieces[0])
-
-    hidden = jnp.maximum(
-        jnp.dot(pair, w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[:][None, :], 0.0)                        # [BR*N, H]
-    link = (jnp.dot(hidden, w2_ref[:],
-                    preferred_element_type=jnp.float32)
-            + b2_ref[:][None, :])                         # [BR*N, 1]
-    out_ref[:, :] = link.reshape(br, n)
+def _masked_softmax(x, pm_f, axis):
+    """ops/masking.py masked_softmax, same op order/dtypes (forward only)."""
+    logits = jnp.where(pm_f > 0, x, jnp.asarray(NEG_INF, x.dtype))
+    logits = logits - jnp.max(logits, axis=axis, keepdims=True)
+    un = jnp.exp(logits) * pm_f.astype(x.dtype)
+    den = jnp.maximum(jnp.sum(un, axis=axis, keepdims=True),
+                      jnp.asarray(1e-30, x.dtype))
+    return un / den
 
 
-@functools.partial(jax.jit, static_argnames=("ops", "block_rows",
-                                             "interpret"))
-def pallas_link_scores(feat_prev: jnp.ndarray, feat_curr: jnp.ndarray,
-                       w1: jnp.ndarray, b1: jnp.ndarray,
-                       w2: jnp.ndarray, b2: jnp.ndarray,
-                       ops: Tuple[str, ...] = ("subabs",),
-                       block_rows: int = 8,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Fused link-score matrix [N, N] from per-frame features [N, D].
+def _pool(link, pm_f, axis, mode: str):
+    """ops/masking.py masked_{max,mean} / softmax-weighted pooling."""
+    if mode == "max":
+        neg = jnp.where(pm_f > 0, link, jnp.asarray(NEG_INF, link.dtype))
+        m = jnp.max(neg, axis=axis)
+        any_valid = jnp.max(pm_f, axis=axis) > 0
+        return jnp.where(any_valid, m, jnp.zeros_like(m))
+    if mode == "mean":
+        mf = pm_f.astype(link.dtype)
+        num = jnp.sum(link * mf, axis=axis)
+        den = jnp.sum(mf, axis=axis)
+        return num / jnp.maximum(den, jnp.ones_like(den))
+    if mode == "softmax":
+        w = _masked_softmax(link, pm_f, axis)
+        return jnp.sum(w * link, axis=axis)
+    raise ValueError(f"unknown pool {mode!r}")
 
-    w1 [len(ops)*D, H] (BN pre-folded), b1 [H], w2 [H, 1], b2 [1].
-    N must be a multiple of ``block_rows``.
+
+def _kernel(a_ref, b_ref, mp_ref, mc_ref,
+            w1_ref, b1_ref, mean_ref, inv_ref, sc_ref, sb_ref,
+            w2_ref, b2_ref,
+            wn1_ref, bn1_ref, wn2_ref, bn2_ref,
+            we1_ref, be1_ref, ew2_ref, eb2_ref,
+            link_ref, norm_ref, new_ref, end_ref, *,
+            ops: Tuple[str, ...], pool: str, softmax_mode: str,
+            avg: bool, block_rows: int):
+    K = a_ref.shape[1]
+    N = a_ref.shape[2]
+    cdt = a_ref.dtype
+    mp = mp_ref[0]                       # [N] compute-dtype 0/1
+    mc = mc_ref[0]
+    pm_f = mp[:, None] * mc[None, :]     # [N, N]
+
+    def dense(x, w, b):
+        # flax Dense with dtype=cdt: f32 MXU accumulation, output cast to
+        # cdt, bias added in cdt.
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y.astype(cdt) + b
+
+    def row_block(i, _):
+        sl = pl.ds(i * block_rows, block_rows)
+        acc = None
+        for k in range(K):
+            ab = a_ref[0, k, sl, :]                       # [BR, D]
+            bb = b_ref[0, k]                              # [N, D]
+            pieces = [
+                _corr(ab[:, None, :], bb[None, :, :], op).reshape(
+                    block_rows * N, -1)
+                for op in ops]
+            pair = (jnp.concatenate(pieces, axis=-1) if len(pieces) > 1
+                    else pieces[0])
+            h0 = dense(pair, w1_ref[0, k], b1_ref[0, k])  # [BR*N, H]
+            # Eval-mode MaskedBatchNorm, f32 exactly like models/layers.py
+            # (NOT folded into the Dense — folding reassociates the math).
+            hf = ((h0.astype(jnp.float32) - mean_ref[0, k]) * inv_ref[0, k]
+                  * sc_ref[0, k] + sb_ref[0, k]).astype(cdt)
+            h = jnp.maximum(hf, jnp.zeros((), cdt))
+            s = (jnp.dot(h, w2_ref[0, k][:, None],
+                         preferred_element_type=jnp.float32).astype(cdt)
+                 + b2_ref[0, k])                          # [BR*N, 1]
+            s = s[:, 0].reshape(block_rows, N)
+            acc = s if acc is None else acc + s
+        if avg:
+            acc = acc / jnp.asarray(K, cdt)
+        mp_blk = jax.lax.dynamic_slice_in_dim(mp, i * block_rows,
+                                              block_rows)
+        link_ref[0, sl, :] = acc * (mp_blk[:, None] * mc[None, :])
+        return 0
+
+    jax.lax.fori_loop(0, N // block_rows, row_block, 0)
+
+    link = link_ref[0, :, :]
+    # Normalisation (models/affinity.py normalize_link).
+    if softmax_mode == "none":
+        norm_ref[0, :, :] = link
+    else:
+        row = _masked_softmax(link, pm_f, axis=-1)
+        if softmax_mode == "single":
+            norm_ref[0, :, :] = row
+        else:
+            col = _masked_softmax(link, pm_f, axis=-2)
+            norm_ref[0, :, :] = jnp.asarray(0.5, cdt) * (row + col)
+
+    # New/end heads (models/new_end.py NewEndIndicator v2): pooled
+    # affinity evidence concatenated to the fused feature, 2-layer MLP.
+    row_best = _pool(link, pm_f, axis=-1, mode=pool)      # [N] prev
+    col_best = _pool(link, pm_f, axis=-2, mode=pool)      # [N] curr
+    new_in = jnp.concatenate(
+        [b_ref[0, 0], col_best[:, None].astype(cdt)], axis=-1)
+    end_in = jnp.concatenate(
+        [a_ref[0, 0], row_best[:, None].astype(cdt)], axis=-1)
+    hn = jnp.maximum(dense(new_in, wn1_ref[:, :], bn1_ref[:]),
+                     jnp.zeros((), cdt))
+    he = jnp.maximum(dense(end_in, we1_ref[:, :], be1_ref[:]),
+                     jnp.zeros((), cdt))
+    new = (jnp.dot(hn, wn2_ref[:][:, None],
+                   preferred_element_type=jnp.float32).astype(cdt)
+           + bn2_ref[0])[:, 0]
+    end = (jnp.dot(he, ew2_ref[:][:, None],
+                   preferred_element_type=jnp.float32).astype(cdt)
+           + eb2_ref[0])[:, 0]
+    new_ref[0, :] = new * mc
+    end_ref[0, :] = end * mp
+
+
+def _pad_n(x, n_pad, axis):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n_pad - x.shape[axis])
+    return jnp.pad(x, pad) if pad[axis][1] else x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ops", "pool", "softmax_mode", "avg",
+                              "block_rows", "interpret"))
+def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
+                    mask_prev: jnp.ndarray, mask_curr: jnp.ndarray,
+                    params: Dict[str, jnp.ndarray], *,
+                    ops: Tuple[str, ...] = ("subabs",),
+                    pool: str = "max", softmax_mode: str = "dual",
+                    avg: bool = False, block_rows: int = 16,
+                    interpret: bool = False):
+    """Fused association-cost tensor for a batch of frame pairs.
+
+    a, b:       [B, K, N, D] prev/curr per-branch embeddings (branch 0 =
+                fused; order must match ``score_branches``), f32 or bf16.
+    mask_prev/
+    mask_curr:  [B, N] bool validity.
+    params:     stacked head parameters from
+                :func:`build_affinity_params`.
+    Returns (link [B,N,N], link_norm [B,N,N], new [B,N], end [B,N]) in the
+    input compute dtype.  N is padded internally to a multiple of
+    ``block_rows`` (and TPU sublane alignment); outputs are sliced back.
     """
-    n, d = feat_prev.shape
-    h = w1.shape[1]
-    if n % block_rows:
-        raise ValueError(f"N={n} not a multiple of block_rows={block_rows}")
-    dtype = jnp.float32
-    grid = (n // block_rows,)
-    kernel = functools.partial(_kernel, ops=ops, block_rows=block_rows)
-    return pl.pallas_call(
+    B, K, N, D = a.shape
+    cdt = a.dtype
+    # Sublane alignment: 16 covers bf16 packing; also the row-block size.
+    align = max(block_rows, 16)
+    n_pad = -(-N // align) * align
+    a = _pad_n(a, n_pad, 2)
+    b = _pad_n(b, n_pad, 2)
+    mp = _pad_n(mask_prev.astype(cdt), n_pad, 1)
+    mc = _pad_n(mask_curr.astype(cdt), n_pad, 1)
+
+    H = params["w2"].shape[-1]
+    hh = params["wn2"].shape[-1]
+    Dc = params["w1"].shape[-2]
+
+    kernel = functools.partial(
+        _kernel, ops=ops, pool=pool, softmax_mode=softmax_mode, avg=avg,
+        block_rows=min(block_rows, n_pad))
+    vm = pltpu.VMEM
+    wspecs = [
+        pl.BlockSpec((1, K, Dc, H), lambda i: (0, 0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # b1
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # mean
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # inv
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # scale
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # bias
+        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # w2
+        pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=vm),            # b2
+        pl.BlockSpec((D + 1, hh), lambda i: (0, 0), memory_space=vm),       # wn1
+        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # bn1
+        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # wn2
+        pl.BlockSpec((1,), lambda i: (0,), memory_space=vm),                # bn2
+        pl.BlockSpec((D + 1, hh), lambda i: (0, 0), memory_space=vm),       # we1
+        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # be1
+        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # ew2
+        pl.BlockSpec((1,), lambda i: (0,), memory_space=vm),                # eb2
+    ]
+    p = params
+    link, norm, new, end = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad, n_pad), cdt),
+            jax.ShapeDtypeStruct((B, n_pad, n_pad), cdt),
+            jax.ShapeDtypeStruct((B, n_pad), cdt),
+            jax.ShapeDtypeStruct((B, n_pad), cdt),
+        ),
         grid_spec=pl.GridSpec(
-            grid=grid,
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((block_rows, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w1.shape[0], h), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h,), lambda i: (0,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1,), lambda i: (0,),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((block_rows, n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, n_pad, D), lambda i: (i, 0, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, K, n_pad, D), lambda i: (i, 0, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+            ] + wspecs,
+            out_specs=(
+                pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+            ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * n * (w1.shape[0] * h + h),
-            bytes_accessed=(2 * n * d + w1.size + n * n) * 4,
-            transcendentals=0,
+            flops=2 * B * K * n_pad * n_pad * (Dc * H + H),
+            bytes_accessed=(2 * B * K * n_pad * D + K * Dc * H
+                            + 2 * B * n_pad * n_pad) * a.dtype.itemsize,
+            transcendentals=B * 2 * n_pad * n_pad,
         ),
         interpret=interpret,
-    )(feat_prev.astype(dtype), feat_curr.astype(dtype),
-      w1.astype(dtype), b1.astype(dtype), w2.astype(dtype),
-      b2.astype(dtype))
+    )(a, b, mp, mc,
+      p["w1"][None], p["b1"][None], p["bn_mean"][None], p["bn_inv"][None],
+      p["bn_scale"][None], p["bn_bias"][None], p["w2"][None], p["b2"][None],
+      p["wn1"], p["bn1"], p["wn2"], p["bn2"],
+      p["we1"], p["be1"], p["ew2"], p["eb2"])
+    return (link[:, :N, :N], norm[:, :N, :N], new[:, :N], end[:, :N])
+
+
+def pallas_supported(cfg) -> bool:
+    """Whether the fused kernel covers this ModelConfig's affinity math."""
+    aff, ne = cfg.affinity, cfg.new_end
+    return (aff.num_layers == 2 and aff.gnn_rounds == 0
+            and ne.version >= 2
+            and all(op in ("subabs", "mul", "diff", "cosine")
+                    for op in aff.correlation_ops)
+            and ne.pool in ("max", "mean", "softmax")
+            and aff.softmax_mode in ("dual", "single", "none")
+            and cfg.score_fusion in ("add", "avg", "fused-only"))
+
+
+def build_affinity_params(variables, cfg, branches: Tuple[str, ...],
+                          compute_dtype) -> Dict[str, jnp.ndarray]:
+    """Stack per-branch affinity-head + new/end-head parameters for the
+    kernel.  BN statistics stay f32 (eval BN runs in f32, like
+    models/layers.py MaskedBatchNorm); dense weights are pre-cast to the
+    compute dtype (flax Dense casts at apply time).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    eps = 1e-5
+
+    def stack(fn):
+        return jnp.stack([fn(params[f"affinity_{b}"],
+                             stats[f"affinity_{b}"]) for b in branches])
+
+    out = {
+        "w1": stack(lambda p, s: p["head_0"]["kernel"]).astype(compute_dtype),
+        "b1": stack(lambda p, s: p["head_0"]["bias"]).astype(compute_dtype),
+        "bn_mean": stack(lambda p, s: s["head_bn_0"]["mean"]),
+        "bn_inv": stack(
+            lambda p, s: jax.lax.rsqrt(s["head_bn_0"]["var"] + eps)),
+        "bn_scale": stack(lambda p, s: p["head_bn_0"]["scale"]),
+        "bn_bias": stack(lambda p, s: p["head_bn_0"]["bias"]),
+        "w2": stack(
+            lambda p, s: p["head_out"]["kernel"][:, 0]).astype(compute_dtype),
+        "b2": stack(
+            lambda p, s: p["head_out"]["bias"][0]).astype(compute_dtype),
+    }
+    ne = params["new_end"]
+    for (k1, k1b, k2, k2b), mlp in ((("wn1", "bn1", "wn2", "bn2"),
+                                     ne["new_mlp"]),
+                                    (("we1", "be1", "ew2", "eb2"),
+                                     ne["end_mlp"])):
+        out[k1] = mlp["dense_0"]["kernel"].astype(compute_dtype)
+        out[k1b] = mlp["dense_0"]["bias"].astype(compute_dtype)
+        out[k2] = mlp["dense_1"]["kernel"][:, 0].astype(compute_dtype)
+        out[k2b] = mlp["dense_1"]["bias"].astype(compute_dtype)   # [1]
+    return out

@@ -129,7 +129,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 mod = TrackingModule(
                     module.net, variables, module.assoc_cfg,
                     use_pallas_affinity=module.use_pallas_affinity,
-                    parallel_assoc=module.parallel_assoc)
+                    parallel_assoc=module.parallel_assoc,
+                    pallas_interpret=module.pallas_interpret)
                 return track_sequence_from_frames(
                     mod, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,

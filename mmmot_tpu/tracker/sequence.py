@@ -180,8 +180,9 @@ def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
                   for k, v in feats.items()}
     mask_prev = jnp.concatenate([state0.mask[None], det_mask[:-1]])
 
-    aff = net.apply(module.variables, prev_feats, feats, mask_prev,
-                    det_mask, train=False, method=net.affinity)
+    # All T frame-pair affinities in one batched call — through the fused
+    # Pallas kernel when enabled (grid over pairs), XLA modules otherwise.
+    aff = module.affinity(prev_feats, feats, mask_prev, det_mask)
     link = aff.link_norm
     new_s = jax.nn.sigmoid(aff.new)
     end_s = jax.nn.sigmoid(aff.end)

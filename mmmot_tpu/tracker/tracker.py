@@ -85,12 +85,30 @@ class TrackingModule:
 
     def __init__(self, net: TrackingNet, variables: Any,
                  assoc_cfg: Optional[AssocConfig] = None,
-                 use_pallas_affinity: bool = False,
-                 parallel_assoc: Optional[bool] = None):
+                 use_pallas_affinity: Optional[bool] = None,
+                 parallel_assoc: Optional[bool] = None,
+                 pallas_interpret: bool = False):
+        from mmmot_tpu.kernels import pallas_supported
+
         self.net = net
         self.variables = variables
         self.assoc_cfg = assoc_cfg or AssocConfig()
+        # Fused Pallas affinity kernel (kernels/affinity_kernel.py): the
+        # production path on TPU whenever the config's affinity math is
+        # covered (flagship is).  None = auto: on for the TPU backend, off
+        # elsewhere (interpret mode exists for CPU tests but is slow).
+        if use_pallas_affinity is None:
+            import jax
+
+            use_pallas_affinity = (jax.default_backend() == "tpu"
+                                   and pallas_supported(net.cfg))
+        elif use_pallas_affinity and not pallas_supported(net.cfg):
+            raise ValueError(
+                "pallas affinity kernel does not cover this config "
+                "(needs num_layers=2, gnn_rounds=0, new_end version>=2); "
+                "use use_pallas_affinity=False/None")
         self.use_pallas_affinity = use_pallas_affinity
+        self.pallas_interpret = pallas_interpret
         # Parallel association pre-solve (sequence scan): without LP-level
         # det rejection, frame-pair associations depend only on features,
         # never on previous decisions — so all T-1 affinity computations
@@ -99,20 +117,11 @@ class TrackingModule:
         # leave the carried state, which feeds the next pair's masks, so
         # the scan must stay fully sequential.  None = auto.
         if parallel_assoc is None:
-            # The Pallas per-frame affinity kernel belongs to the
-            # sequential scan; batched affinity is plain XLA matmuls.
-            parallel_assoc = (not self.assoc_cfg.use_det_scores
-                              and not use_pallas_affinity)
+            parallel_assoc = not self.assoc_cfg.use_det_scores
         if parallel_assoc and self.assoc_cfg.use_det_scores:
             raise ValueError("parallel_assoc is unsound with "
                              "use_det_scores (decision-dependent state)")
         self.parallel_assoc = parallel_assoc
-        if use_pallas_affinity:
-            aff = net.cfg.affinity
-            if aff.num_layers != 2 or aff.gnn_rounds != 0:
-                raise ValueError(
-                    "pallas affinity fast path supports num_layers=2, "
-                    "gnn_rounds=0 (the flagship configuration)")
 
     def extract(self, crops, points, point_mask, det_mask):
         return self.net.apply(self.variables, crops, points, point_mask,
@@ -134,73 +143,62 @@ class TrackingModule:
         return init_state(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
-        """Fused-kernel affinity (inference): per-branch Pallas link scores
-        + the XLA new/end heads and normalisation.
+        """Fused-kernel affinity (inference): correlation + link heads for
+        every live branch, new/end heads, and dual-softmax normalisation in
+        ONE Pallas kernel emitting the full association cost tensor
+        (kernels/affinity_kernel.py — the BASELINE.json north star).
 
-        Matches the XLA path's math with eval-mode BN folded into the hidden
-        Dense (kernels/affinity_kernel.py).
+        Accepts per-frame feats ([N, D]) or batched pair feats
+        ([T, N, D]); composes with vmap (sequence batching).
         """
-        from mmmot_tpu.kernels import fold_bn_into_dense, pallas_link_scores
-        from mmmot_tpu.models.affinity import normalize_link
-        from mmmot_tpu.models.tracking_net import AffinityOutput
-        from mmmot_tpu.ops.masking import pair_mask
+        from mmmot_tpu.kernels import build_affinity_params, pallas_affinity
+        from mmmot_tpu.models.tracking_net import AffinityOutput, score_branches
 
-        from mmmot_tpu.models.tracking_net import score_branches
-
-        params = self.variables["params"]
-        stats = self.variables.get("batch_stats", {})
-        ops = self.net.cfg.affinity.correlation_ops
-        branches = score_branches(self.net.cfg)
-        link = None
-        n_scored = 0
-        for branch in branches:
-            if branch not in feats_prev:
-                continue
-            n_scored += 1
-            p = params[f"affinity_{branch}"]
-            s = stats[f"affinity_{branch}"]
-            w1, b1 = fold_bn_into_dense(
-                p["head_0"]["kernel"], p["head_0"]["bias"],
-                p["head_bn_0"]["scale"], p["head_bn_0"]["bias"],
-                s["head_bn_0"]["mean"], s["head_bn_0"]["var"])
-            scores = pallas_link_scores(
-                feats_prev[branch].astype(jnp.float32),
-                feats_curr[branch].astype(jnp.float32),
-                w1, b1, p["head_out"]["kernel"], p["head_out"]["bias"],
-                ops=ops)
-            link = scores if link is None else link + scores
-        if link is None:
+        cfg = self.net.cfg
+        branches = tuple(b for b in score_branches(cfg)
+                         if b in feats_prev and b in feats_curr)
+        if not branches:
             raise ValueError(
-                f"no affinity branch of {branches} present in feats "
-                f"{sorted(feats_prev)}")
-        if self.net.cfg.score_fusion == "avg":
-            link = link / n_scored
-        pm = pair_mask(mask_prev, mask_curr)
-        link = link * pm.astype(link.dtype)
-
-        def _new_end(net, fp, fc, l, mp, mc):
-            return net.new_end(fp, fc, l, mp, mc, train=False)
-
-        new, end = self.net.apply(
-            self.variables, feats_prev["fused"], feats_curr["fused"],
-            link.astype(feats_prev["fused"].dtype), mask_prev, mask_curr,
-            method=_new_end)
-        link_norm = normalize_link(link, mask_prev, mask_curr,
-                                   self.net.cfg.affinity.softmax_mode)
+                f"no affinity branch of {score_branches(cfg)} present in "
+                f"feats {sorted(feats_prev)}")
+        cdt = feats_prev["fused"].dtype
+        a = jnp.stack([feats_prev[b].astype(cdt) for b in branches],
+                      axis=-3)
+        b = jnp.stack([feats_curr[b].astype(cdt) for b in branches],
+                      axis=-3)
+        unbatched = a.ndim == 3
+        if unbatched:
+            a, b = a[None], b[None]
+            mask_prev, mask_curr = mask_prev[None], mask_curr[None]
+        params = build_affinity_params(self.variables, cfg, branches, cdt)
+        link, link_norm, new, end = pallas_affinity(
+            a, b, mask_prev, mask_curr, params,
+            ops=cfg.affinity.correlation_ops, pool=cfg.new_end.pool,
+            softmax_mode=cfg.affinity.softmax_mode,
+            avg=cfg.score_fusion == "avg",
+            interpret=self.pallas_interpret)
+        if unbatched:
+            link, link_norm = link[0], link_norm[0]
+            new, end = new[0], end[0]
         return AffinityOutput(link=link, link_norm=link_norm, new=new,
                               end=end)
+
+    def affinity(self, feats_prev, feats_curr, mask_prev, mask_curr):
+        """Cross-frame affinity: fused Pallas kernel when enabled, XLA
+        modules otherwise.  Shared by the sequential scan and the batched
+        parallel pre-solve."""
+        if self.use_pallas_affinity:
+            return self._affinity_pallas(feats_prev, feats_curr, mask_prev,
+                                         mask_curr)
+        return self.net.apply(self.variables, feats_prev, feats_curr,
+                              mask_prev, mask_curr, train=False,
+                              method=self.net.affinity)
 
     def step_from_feats(self, state: TrackerState,
                         feats: Dict[str, jnp.ndarray], det_mask
                         ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
         """Associate pre-extracted current-frame features against the state."""
-        if self.use_pallas_affinity:
-            aff = self._affinity_pallas(state.feats, feats, state.mask,
-                                        det_mask)
-        else:
-            aff = self.net.apply(self.variables, state.feats, feats,
-                                 state.mask, det_mask, train=False,
-                                 method=self.net.affinity)
+        aff = self.affinity(state.feats, feats, state.mask, det_mask)
         link = aff.link_norm
         new_s = jax.nn.sigmoid(aff.new)
         end_s = jax.nn.sigmoid(aff.end)

@@ -271,3 +271,45 @@ def test_parallel_assoc_matches_sequential():
     with pytest.raises(ValueError):
         TrackingModule(net, vars_, AssocConfig(use_det_scores=True),
                        parallel_assoc=True)
+
+
+def test_pallas_affinity_end_to_end_matches_xla():
+    """Full sequence pipeline with the fused Pallas affinity kernel
+    (interpret mode) produces the same track IDs as the XLA path, in both
+    the parallel-presolve and sequential-scan strategies."""
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 5, 8, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    rng = np.random.default_rng(21)
+    crops = jnp.asarray(rng.normal(0, 1, (T, Ns, 32, 32, 3)).astype(
+        np.float32))
+    points = jnp.asarray(rng.normal(0, 1, (T, Ns, P, 4)).astype(np.float32))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm = jnp.asarray(np.arange(Ns)[None, :]
+                     < rng.integers(1, Ns + 1, (T, 1)))
+
+    outs = {}
+    for name, kw in {
+        "xla": dict(use_pallas_affinity=False),
+        "pallas_par": dict(use_pallas_affinity=True, pallas_interpret=True),
+        "pallas_seq": dict(use_pallas_affinity=True, pallas_interpret=True,
+                           parallel_assoc=False),
+    }.items():
+        m = TrackingModule(net, vars_, AssocConfig(), **kw)
+        outs[name] = jax.jit(lambda c, p, q, d, m=m: track_sequence(
+            m, c, p, q, d))(crops, points, pm, dm)
+    for name in ("pallas_par", "pallas_seq"):
+        np.testing.assert_array_equal(np.asarray(outs[name]["ids"]),
+                                      np.asarray(outs["xla"]["ids"]),
+                                      err_msg=name)
