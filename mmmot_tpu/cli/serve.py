@@ -29,6 +29,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="mmmot_tpu tracking service")
     p.add_argument("--config", required=True)
     p.add_argument("--load-path", default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the per-frame step at startup (on dummy "
+                        "arrays of --warmup-shape) so the first client "
+                        "request doesn't pay the full pipeline compile; "
+                        "the ready line is emitted only after warmup")
+    p.add_argument("--warmup-shape", default="384x1248x16384",
+                   help="HxWxM of the warmup frame/cloud (KITTI default); "
+                        "requests with other image/cloud shapes still "
+                        "trigger their own compile")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -85,10 +94,30 @@ def main(argv=None):
         new_state, out = module.step_from_feats(track_state, feats, det_mask)
         return new_state, out["ids"]
 
+    def fresh_state():
+        ts = module.init_state(N)
+        cdt = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+               else jnp.float32)
+        return ts._replace(
+            feats={k: v.astype(cdt) for k, v in ts.feats.items()})
+
+    ready = {"ready": True, "config": cfg.name}
+    if args.warmup:
+        import time
+
+        h, w, m = (int(x) for x in args.warmup_shape.split("x"))
+        t0 = time.perf_counter()
+        ws, wids = step(fresh_state(), jnp.zeros((h, w, 3), jnp.uint8),
+                        jnp.zeros((m, 4), jnp.float32),
+                        jnp.zeros((N, 4), jnp.float32),
+                        jnp.zeros((N,), bool), jnp.zeros((3, 4), jnp.float32))
+        jax.block_until_ready(wids)
+        ready["warmup_secs"] = round(time.perf_counter() - t0, 3)
+
     track_state = None
     frame_idx = 0
     out = sys.stdout
-    print(json.dumps({"ready": True, "config": cfg.name}), flush=True)
+    print(json.dumps(ready), flush=True)
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -113,12 +142,7 @@ def main(argv=None):
             det_mask = np.zeros((N,), bool)
             det_mask[:n] = True
             if track_state is None:
-                track_state = module.init_state(N)
-                cdt = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
-                    else jnp.float32
-                track_state = track_state._replace(
-                    feats={k: v.astype(cdt)
-                           for k, v in track_state.feats.items()})
+                track_state = fresh_state()
             track_state, ids = step(
                 track_state, jnp.asarray(data["image"]),
                 jnp.asarray(data["cloud"]), jnp.asarray(boxes_p),

@@ -134,12 +134,16 @@ class TrackingEvaluation:
 
     def __init__(self, cls: str = "car", min_overlap: float = 0.5,
                  max_truncation: float = 0.15, mt_threshold: float = 0.8,
-                 ml_threshold: float = 0.2):
+                 ml_threshold: float = 0.2, boundary: str = "strict"):
+        if boundary not in ("strict", "closed"):
+            raise ValueError(f"boundary must be strict/closed, "
+                             f"got {boundary!r}")
         self.cls = cls.lower()
         self.min_overlap = min_overlap
         self.max_truncation = max_truncation
         self.mt_threshold = mt_threshold
         self.ml_threshold = ml_threshold
+        self.boundary = boundary
         self.tp = self.fp = self.fn = 0
         self.total_overlap = 0.0
         self.n_gt = 0
@@ -263,18 +267,31 @@ class TrackingEvaluation:
                 n_traj += 1
                 tracked = sum(1 for f in frames if g[f] >= 0)
                 coverage = tracked / len(frames)
-                # Devkit MT/PT/ML boundaries are STRICT on both sides
-                # (coverage > 0.8 -> MT, coverage < 0.2 -> ML, PT covers
-                # the closed interval [0.2, 0.8]).  [VERIFY against the
-                # mounted reference when available — round-1 advice
-                # claimed <= 0.2 for ML, round-2 review claims strict;
-                # strict matches the recalled devkit source.]
-                if coverage > self.mt_threshold:
-                    mt += 1
-                elif coverage < self.ml_threshold:
-                    ml += 1
+                # MT/PT/ML boundary convention, selectable because the
+                # reference mount is unavailable to settle it ([VERIFY]
+                # SURVEY §2.17; round-1 advice claimed the closed form,
+                # round-2 review the strict form):
+                #   strict (ships): coverage > 0.8 -> MT, < 0.2 -> ML,
+                #     PT covers the closed interval [0.2, 0.8] — matches
+                #     the recalled devkit source (`if best > 0.8: MT
+                #     elif best < 0.2: ML else PT`).
+                #   closed: coverage >= 0.8 -> MT, <= 0.2 -> ML.
+                # Exact-boundary trajectories (coverage == 0.2 or 0.8)
+                # are the only ones affected; tests pin both behaviours.
+                if self.boundary == "strict":
+                    if coverage > self.mt_threshold:
+                        mt += 1
+                    elif coverage < self.ml_threshold:
+                        ml += 1
+                    else:
+                        pt += 1
                 else:
-                    pt += 1
+                    if coverage >= self.mt_threshold:
+                        mt += 1
+                    elif coverage <= self.ml_threshold:
+                        ml += 1
+                    else:
+                        pt += 1
                 # IDS: last matched id persists across gaps.
                 last_id = -1
                 prev_tracked = False
@@ -333,7 +350,8 @@ def evaluate_tracking(gt_dir: str, result_dir: str,
             one = TrackingEvaluation(
                 cls=cls, min_overlap=ev.min_overlap,
                 max_truncation=ev.max_truncation,
-                mt_threshold=ev.mt_threshold, ml_threshold=ev.ml_threshold)
+                mt_threshold=ev.mt_threshold, ml_threshold=ev.ml_threshold,
+                boundary=ev.boundary)
             one.add_sequence(gt, trk)
             seq_metrics[seq] = one.compute()
     overall = ev.compute()

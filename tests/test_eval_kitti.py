@@ -206,3 +206,31 @@ def test_summary_and_per_sequence(tmp_path):
     assert set(both) == {"car", "pedestrian"}
     assert both["car"].mota == pytest.approx(overall.mota)
     assert both["pedestrian"].n_gt == 0
+
+
+def test_mt_ml_boundary_closed_convention():
+    """boundary="closed": exact-0.2 coverage counts ML and exact-0.8
+    counts MT (the alternate convention kept selectable until the
+    reference mount can settle the [VERIFY]; strict ships by default)."""
+    gt = {f: [obj(f, 1, B1)] for f in range(10)}
+    trk2 = {f: [obj(f, 5, B1)] for f in range(2)}     # 0.2 coverage
+    ev = TrackingEvaluation(boundary="closed")
+    ev.add_sequence(gt, trk2, num_frames=10)
+    m = ev.compute()
+    assert m.ml == 1.0 and m.pt == 0.0
+
+    trk8 = {f: [obj(f, 5, B1)] for f in range(8)}     # 0.8 coverage
+    ev8 = TrackingEvaluation(boundary="closed")
+    ev8.add_sequence(gt, trk8, num_frames=10)
+    m8 = ev8.compute()
+    assert m8.mt == 1.0 and m8.pt == 0.0
+
+    # Interior coverages classify identically under both conventions.
+    trk5 = {f: [obj(f, 5, B1)] for f in range(5)}
+    for b in ("strict", "closed"):
+        e = TrackingEvaluation(boundary=b)
+        e.add_sequence(gt, trk5, num_frames=10)
+        assert e.compute().pt == 1.0
+
+    with pytest.raises(ValueError, match="boundary"):
+        TrackingEvaluation(boundary="open")

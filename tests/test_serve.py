@@ -52,3 +52,47 @@ def test_serve_protocol(tmp_path):
         proc.stdin.close()
         proc.wait(timeout=60)
     assert proc.returncode == 0
+
+
+def test_serve_warmup(tmp_path):
+    """--warmup compiles the step before the ready line: the ready message
+    carries warmup_secs, and the first request at the warmed shape answers
+    without paying the pipeline compile again (VERDICT r2 weak #6)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    H, W, M = 96, 192, 400
+    proj = np.array([[100.0, 0, W / 2, 0], [0, 100.0, H / 2, 0],
+                     [0, 0, 1, 0]], np.float32)
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    cloud = np.zeros((M, 4), np.float32)
+    cloud[:, 2] = rng.uniform(2, 30, M)
+    np.savez(tmp_path / "f0.npz", image=img, cloud=cloud,
+             boxes=np.array([[10, 10, 60, 60]], np.float32), proj=proj)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mmmot_tpu.cli.serve",
+         "--config", "experiments/tiny_debug/config.yaml", "--cpu",
+         "--warmup", "--warmup-shape", f"{H}x{W}x{M}"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        env=dict(os.environ))
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] is True
+        assert ready["warmup_secs"] > 0        # compile happened pre-ready
+
+        proc.stdin.write(json.dumps({"npz": str(tmp_path / "f0.npz")})
+                         + "\n")
+        proc.stdin.flush()
+        t0 = time.perf_counter()
+        r0 = json.loads(proc.stdout.readline())
+        first_req = time.perf_counter() - t0
+        assert r0["frame"] == 0
+        # The warmed first request must be far cheaper than the compile.
+        assert first_req < ready["warmup_secs"]
+        proc.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+        proc.stdin.flush()
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    assert proc.returncode == 0
