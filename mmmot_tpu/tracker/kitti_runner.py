@@ -119,8 +119,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # nets are interchangeable templates (variables are an argument).
         key = (module.net.cfg, module.assoc_cfg, crop, P, chunk,
                data_cfg.point_source, module.use_pallas_affinity,
-               module.parallel_assoc, S_b, W, capacity, crop_window,
-               dead_sensor)
+               module.parallel_assoc, module.hybrid_presolve, S_b, W,
+               capacity, crop_window, dead_sensor)
         local_keys.add(key)
         fresh = key not in _WINDOW_FNS
         if fresh:
@@ -130,7 +130,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     module.net, variables, module.assoc_cfg,
                     use_pallas_affinity=module.use_pallas_affinity,
                     parallel_assoc=module.parallel_assoc,
-                    pallas_interpret=module.pallas_interpret)
+                    pallas_interpret=module.pallas_interpret,
+                    hybrid_presolve=module.hybrid_presolve)
                 return track_sequence_from_frames(
                     mod, im, cl, bx, dm, pr, crop, P, cloud_valid=cv,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,

@@ -132,9 +132,14 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
       vmapped auction); only the elementwise ID propagation scans.  This
       removed the dominant cost of the sequence pipeline (the per-frame
       scan body was 44% of runtime at the faithful benchmark scale).
-    * **sequential scan** (``use_det_scores`` / ``parallel_assoc=False``):
-      per-frame ``step_from_feats``, required when LP det rejection makes
-      the carried state decision-dependent.
+    * **hybrid pre-solve** (``use_det_scores`` with ``hybrid_presolve``,
+      the default): LP det rejection makes the carried state decision-
+      dependent, but only through the MASK — so the correlation matmuls
+      still batch over all pairs and only cheap mask-dependent ops + the
+      LP stay in the scan (:func:`_hybrid_track`).
+    * **sequential scan** (``parallel_assoc=False, hybrid_presolve=False``):
+      per-frame ``step_from_feats`` — the simple reference-shaped loop,
+      kept as the equality oracle for the two above.
     """
     N = det_mask.shape[-1]
     if state0 is None:
@@ -151,6 +156,9 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
     if getattr(module, "parallel_assoc", False):
         return _parallel_track(module, feats, det_mask, state0)
+    if module.assoc_cfg.use_det_scores and getattr(
+            module, "hybrid_presolve", True):
+        return _hybrid_track(module, feats, det_mask, state0)
 
     def step(state, frame):
         f, dm = frame
@@ -213,6 +221,88 @@ def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     final = TrackerState(
         feats={k: v[-1] for k, v in feats.items()},
         mask=det_mask[-1], ids=ids_last, ages=ages_last, next_id=next_id)
+    return {"ids": ids, "det_score": det_score}, final
+
+
+def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
+                  det_mask, state0):
+    """Hybrid pre-solve for the y_det (full-ILP) mode.
+
+    LP-level detection rejection makes the carried state decision-
+    dependent — but only through the MASK: the carried features are the
+    full previous-frame features regardless of rejections, and every
+    mask application downstream is multiplicative (score * 0/1) or a
+    masked reduction.  So the expensive mask-independent work — the
+    per-branch correlation matmuls (the GFLOPs) and the det head —
+    batches over all T pairs with OPTIMISTIC masks (the full det_mask),
+    and the scan body re-masks exactly with the carried kept-mask and
+    keeps only the cheap parts: normalisation, new/end heads, the LP
+    solve, and ID bookkeeping.  Results are identical to the fully
+    sequential ``step_from_feats`` scan (tested).
+
+    Rejections only ever SHRINK the prev mask below det_mask, and raw
+    link scores are already zeroed at invalid optimistic pairs, so
+    re-masking with the smaller true mask is exact.
+    """
+    from mmmot_tpu.assoc import associate
+    from mmmot_tpu.models.affinity import normalize_link
+    from mmmot_tpu.tracker.tracker import TrackerState
+    from mmmot_tpu.ops.masking import pair_mask
+
+    net = module.net
+    w = module.assoc_cfg.det_score_weight
+
+    prev_feats = {k: jnp.concatenate([state0.feats[k][None], v[:-1]])
+                  for k, v in feats.items()}
+    mask_prev_opt = jnp.concatenate([state0.mask[None], det_mask[:-1]])
+
+    # Batched heavy work (optimistic masks): raw link scores + det logits.
+    aff = module.affinity(prev_feats, feats, mask_prev_opt, det_mask)
+    det_logit = net.apply(module.variables, feats["fused"], det_mask,
+                          method=net.det_score)                # [T, N]
+    det_logit0 = net.apply(module.variables, state0.feats["fused"],
+                           state0.mask, method=net.det_score)  # [N]
+    det_logit_prev_full = jnp.concatenate([det_logit0[None],
+                                           det_logit[:-1]])
+
+    def _new_end(net, fp, fc, l, mp, mc):
+        return net.new_end(fp, fc, l, mp, mc, train=False)
+
+    def step(carry, x):
+        mp, ids_prev, ages_prev, next_id = carry
+        link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm = x
+        pm = pair_mask(mp, dm)
+        link = link_raw * pm.astype(link_raw.dtype)
+        link_norm = normalize_link(link, mp, dm,
+                                   net.cfg.affinity.softmax_mode)
+        new, end = net.apply(module.variables, fp_fused, fc_fused, link,
+                             mp, dm, method=_new_end)
+        dec = associate(link_norm, jax.nn.sigmoid(new),
+                        jax.nn.sigmoid(end), mp, dm, module.assoc_cfg,
+                        det_prev=(w * (dlp_full * mp.astype(
+                            dlp_full.dtype))).astype(link.dtype),
+                        det_curr=(w * dl_curr).astype(link.dtype))
+        kept = dm & dec.keep_curr
+        linked = dec.match_curr >= 0
+        safe = jnp.maximum(dec.match_curr, 0)
+        inherited = jnp.where(linked, ids_prev[safe], -1)
+        order = jnp.cumsum(dec.is_new.astype(jnp.int32)) - 1
+        ids_curr = jnp.where(dec.is_new, next_id + order, inherited)
+        ids_curr = jnp.where(dm, ids_curr, -1).astype(jnp.int32)
+        matched_age = jnp.where(linked, ages_prev[safe], 0)
+        ages_curr = jnp.where(kept, matched_age + 1, 0).astype(jnp.int32)
+        next_id = next_id + jnp.sum(dec.is_new.astype(jnp.int32))
+        return ((kept, ids_curr, ages_curr, next_id),
+                (ids_curr, jax.nn.sigmoid(dl_curr)))
+
+    (mask_last, ids_last, ages_last, next_id), (ids, det_score) = \
+        jax.lax.scan(step,
+                     (state0.mask, state0.ids, state0.ages, state0.next_id),
+                     (aff.link, prev_feats["fused"], feats["fused"],
+                      det_logit_prev_full, det_logit, det_mask))
+    final = TrackerState(
+        feats={k: v[-1] for k, v in feats.items()},
+        mask=mask_last, ids=ids_last, ages=ages_last, next_id=next_id)
     return {"ids": ids, "det_score": det_score}, final
 
 

@@ -87,7 +87,8 @@ class TrackingModule:
                  assoc_cfg: Optional[AssocConfig] = None,
                  use_pallas_affinity: Optional[bool] = None,
                  parallel_assoc: Optional[bool] = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 hybrid_presolve: bool = True):
         from mmmot_tpu.kernels import pallas_supported
 
         self.net = net
@@ -122,6 +123,11 @@ class TrackingModule:
             raise ValueError("parallel_assoc is unsound with "
                              "use_det_scores (decision-dependent state)")
         self.parallel_assoc = parallel_assoc
+        # Hybrid pre-solve for the y_det mode (sequence.py _hybrid_track):
+        # batch the mask-independent correlation matmuls over all pairs,
+        # keep only mask-dependent cheap ops + the LP in the scan.
+        # Results identical to the fully sequential scan (tested).
+        self.hybrid_presolve = hybrid_presolve
 
     def extract(self, crops, points, point_mask, det_mask):
         return self.net.apply(self.variables, crops, points, point_mask,

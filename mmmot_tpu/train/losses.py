@@ -17,32 +17,37 @@ import jax.numpy as jnp
 from mmmot_tpu.ops.masking import masked_log_softmax, pair_mask
 
 
-def _prev_ce(link, end, gt_link, gt_end, mask_prev, mask_curr):
-    """CE over each prev det's decision: [link to j..., end]."""
+def _prev_ce(link, end, gt_link, gt_end, sup_prev, mask_curr):
+    """CE over each prev det's decision: [link to j..., end].
+
+    ``sup_prev`` selects which prev dets carry supervision (real dets);
+    ``mask_curr`` is the full candidate set (so links toward false
+    positives are suppressed through the softmax denominators).
+    """
     logits = jnp.concatenate([link, end[..., :, None]], axis=-1)
     cand_mask = jnp.concatenate(
-        [pair_mask(mask_prev, mask_curr),
-         mask_prev[..., :, None]], axis=-1)
+        [pair_mask(sup_prev, mask_curr),
+         sup_prev[..., :, None]], axis=-1)
     logp = masked_log_softmax(logits, cand_mask, axis=-1)
     target = jnp.concatenate([gt_link, gt_end[..., :, None]], axis=-1)
     ce = -jnp.sum(target * jnp.where(cand_mask, logp, 0.0), axis=-1)
-    cnt = jnp.maximum(jnp.sum(mask_prev), 1)
-    return jnp.sum(ce * mask_prev) / cnt
+    cnt = jnp.maximum(jnp.sum(sup_prev), 1)
+    return jnp.sum(ce * sup_prev) / cnt
 
 
-def _curr_ce(link, new, gt_link, gt_new, mask_prev, mask_curr):
+def _curr_ce(link, new, gt_link, gt_new, sup_curr, mask_prev):
     """CE over each curr det's decision: [linked-from i..., new]."""
     linkT = jnp.swapaxes(link, -1, -2)
     gt_linkT = jnp.swapaxes(gt_link, -1, -2)
     logits = jnp.concatenate([linkT, new[..., :, None]], axis=-1)
     cand_mask = jnp.concatenate(
-        [pair_mask(mask_curr, mask_prev),
-         mask_curr[..., :, None]], axis=-1)
+        [pair_mask(sup_curr, mask_prev),
+         sup_curr[..., :, None]], axis=-1)
     logp = masked_log_softmax(logits, cand_mask, axis=-1)
     target = jnp.concatenate([gt_linkT, gt_new[..., :, None]], axis=-1)
     ce = -jnp.sum(target * jnp.where(cand_mask, logp, 0.0), axis=-1)
-    cnt = jnp.maximum(jnp.sum(mask_curr), 1)
-    return jnp.sum(ce * mask_curr) / cnt
+    cnt = jnp.maximum(jnp.sum(sup_curr), 1)
+    return jnp.sum(ce * sup_curr) / cnt
 
 
 def _masked_bce(logits, targets, mask):
@@ -66,16 +71,27 @@ def tracking_loss(outputs: Dict[str, jnp.ndarray],
     # Compact-first training may drop overflow detections; kept_mask from
     # the forward then masks them out of the loss consistently.
     det_mask = outputs.get("kept_mask", batch["det_mask"])
-    mask_prev = det_mask[:, :-1]
-    mask_curr = det_mask[:, 1:]
+    # False positives (gt_id < 0) are EXCLUDED from association
+    # supervision: under the y_det ILP their correct decision is
+    # *rejection* — an arm that exists in the LP, not in the {link..., new}
+    # softmax — so labelling them "new"/"end" would train the birth/death
+    # heads to legitimise clutter and veto LP rejection.  Their supervision
+    # is the det-confidence BCE below (target 0).  Candidate columns still
+    # include them (real rows learn NOT to link to clutter); only their own
+    # CE/BCE rows drop out.
+    sup_mask = det_mask
+    if "gt_ids" in batch:
+        sup_mask = det_mask & (batch["gt_ids"] >= 0)
+    sup_prev, sup_curr = sup_mask[:, :-1], sup_mask[:, 1:]
+    mask_prev, mask_curr = det_mask[:, :-1], det_mask[:, 1:]
 
     link = outputs["link"]
     ce_prev = _prev_ce(link, outputs["end"], batch["gt_link"],
-                       batch["gt_end"], mask_prev, mask_curr)
+                       batch["gt_end"], sup_prev, mask_curr)
     ce_curr = _curr_ce(link, outputs["new"], batch["gt_link"],
-                       batch["gt_new"], mask_prev, mask_curr)
-    bce_new = _masked_bce(outputs["new"], batch["gt_new"], mask_curr)
-    bce_end = _masked_bce(outputs["end"], batch["gt_end"], mask_prev)
+                       batch["gt_new"], sup_curr, mask_prev)
+    bce_new = _masked_bce(outputs["new"], batch["gt_new"], sup_curr)
+    bce_end = _masked_bce(outputs["end"], batch["gt_end"], sup_prev)
 
     metrics = {"ce_prev": ce_prev, "ce_curr": ce_curr,
                "bce_new": bce_new, "bce_end": bce_end,

@@ -25,7 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def evaluate(net, variables, cfg, assoc_cfg, mode="full", sequences=3,
-             frames=30):
+             frames=30, drop_prob=0.05, fp_prob=0.1, jitter_px=0.0,
+             degrade_prob=0.0, score_threshold=0.0, full_gt=False,
+             seed0=1000):
+    """Devkit-score the tracker on synthetic sequences.
+
+    ``full_gt`` scores against the TRUE object trajectories (detector
+    drop-outs count as real FNs) — the non-saturated noisy-detector
+    regime; otherwise GT is the detected subset (the legacy saturated
+    gates).  ``score_threshold`` applies post-hoc det-head filtering;
+    LP-level rejection comes from ``assoc_cfg.use_det_scores``.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,19 +56,31 @@ def evaluate(net, variables, cfg, assoc_cfg, mode="full", sequences=3,
     ev = TrackingEvaluation(cls="car")
     for s in range(sequences):
         world = make_synthetic_sequence(
-            np.random.default_rng(1000 + s), num_frames=frames,
+            np.random.default_rng(seed0 + s), num_frames=frames,
             num_slots=N, crop_size=cfg.data.crop_size, points_per_det=P,
-            drop_prob=0.05, fp_prob=0.1)
+            drop_prob=drop_prob, fp_prob=fp_prob, jitter_px=jitter_px,
+            degrade_prob=degrade_prob)
         crops = None if mode == "dead_camera" else jnp.asarray(world.crops)
         points = None if mode == "dead_lidar" else jnp.asarray(world.points)
         out = track(crops, points, jnp.asarray(world.point_mask),
                     jnp.asarray(world.det_mask))
         ids = np.asarray(out["ids"])
-        res = tracker_output_to_objects(ids, world.det_mask, world.boxes2d,
+        keep = world.det_mask
+        if score_threshold > 0:
+            keep = keep & (np.asarray(out["det_score"])
+                           >= score_threshold)
+        res = tracker_output_to_objects(ids, keep, world.boxes2d,
                                         world.scores)
-        gt = tracker_output_to_objects(
-            world.gt_ids, world.det_mask & (world.gt_ids >= 0),
-            world.boxes2d)
+        if full_gt:
+            K = world.gt_alive.shape[1]
+            gt_ids_full = np.where(world.gt_alive,
+                                   np.arange(K)[None, :], -1)
+            gt = tracker_output_to_objects(gt_ids_full, world.gt_alive,
+                                           world.gt_traj_boxes)
+        else:
+            gt = tracker_output_to_objects(
+                world.gt_ids, world.det_mask & (world.gt_ids >= 0),
+                world.gt_boxes2d)
         gtf, resf = {}, {}
         for o in gt:
             gtf.setdefault(o.frame, []).append(o)
@@ -106,9 +128,13 @@ def main():
     N, P = cfg.data.max_dets, cfg.data.point_len
 
     def next_batch():
+        # fp_prob matches the noisy eval regime so the det head sees
+        # enough FP supervision to separate (the geometric FP count at
+        # 0.2 was ~5% of dets — too few for a discriminative head).
         b = make_training_batch(rng, batch_size=cfg.train.batch_size,
                                 num_slots=N, crop_size=cfg.data.crop_size,
-                                points_per_det=P, drop_prob=0.1, fp_prob=0.2)
+                                points_per_det=P, drop_prob=0.1,
+                                fp_prob=0.5, degrade_prob=0.2)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     batch0 = next_batch()
@@ -147,12 +173,85 @@ def main():
             net, variables, cfg,
             dataclasses.replace(cfg.assoc, solver=solver))
 
+    # Det-head diagnostic: score separation on a noisy world.
+    from mmmot_tpu.data.synthetic import make_synthetic_sequence
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+    world = make_synthetic_sequence(
+        np.random.default_rng(3000), num_frames=30, num_slots=N,
+        crop_size=cfg.data.crop_size, points_per_det=P, drop_prob=0.1,
+        fp_prob=0.5, jitter_px=2.0, degrade_prob=0.2)
+    mdiag = TrackingModule(net, variables, cfg.assoc)
+    outd = jax.jit(lambda c, p, q, d: track_sequence(mdiag, c, p, q, d))(
+        jnp.asarray(world.crops), jnp.asarray(world.points),
+        jnp.asarray(world.point_mask), jnp.asarray(world.det_mask))
+    ds = np.asarray(outd["det_score"])
+    tp_m = world.det_mask & (world.gt_ids >= 0)
+    fp_m = world.det_mask & (world.gt_ids < 0)
+    # Degraded TPs are identifiable by their sparse point sets (clear TPs
+    # carry >= P/2 points) — classify for the diagnostic only.
+    sparse = world.point_mask.sum(-1) < (P // 2)
+    deg_m = tp_m & sparse
+    clear_m = tp_m & ~sparse
+    det_diag = {"tp_score_mean": round(float(ds[tp_m].mean()), 4),
+                "clear_score_mean": round(float(ds[clear_m].mean()), 4),
+                "degraded_score_mean": round(float(ds[deg_m].mean()), 4),
+                "fp_score_mean": round(float(ds[fp_m].mean()), 4),
+                "n_fp": int(fp_m.sum()), "n_degraded": int(deg_m.sum())}
+    # New-head response per class (bias of the LP's keep-as-new arm).
+    from mmmot_tpu.tracker.sequence import _scan_track  # noqa: F401
+    feats_d = jax.jit(lambda c, p_, q, d: net.apply(
+        variables, c, p_, q, d, train=False, method=net.extract))(
+        jnp.asarray(world.crops), jnp.asarray(world.points),
+        jnp.asarray(world.point_mask), jnp.asarray(world.det_mask))
+    prev = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
+            for k, v in feats_d.items()}
+    mprev = jnp.concatenate([jnp.zeros_like(jnp.asarray(
+        world.det_mask[:1])), jnp.asarray(world.det_mask[:-1])])
+    affd = net.apply(variables, prev, feats_d, mprev,
+                     jnp.asarray(world.det_mask), train=False,
+                     method=net.affinity)
+    new_s = np.asarray(jax.nn.sigmoid(affd.new))
+    det_diag.update({
+        "new_s_clear": round(float(new_s[clear_m].mean()), 4),
+        "new_s_degraded": round(float(new_s[deg_m].mean()), 4),
+        "new_s_fp": round(float(new_s[fp_m].mean()), 4)})
+    print("det head:", det_diag, flush=True)
+
+    # Noisy-detector regime (VERDICT r2 missing #5): heavy FP rate, real
+    # FNs (full-trajectory GT), box jitter — MOTA is NOT saturated here,
+    # and the three FP-handling strategies must separate: no filtering <
+    # post-hoc det-head threshold <= LP-level y_det rejection (the one LP
+    # feature the reference always pays for; SURVEY §2.3).
+    # degrade_prob puts ~20%% of TRUE detections in the ambiguous zone
+    # (clutter-like stats but a live, correlating signature): a post-hoc
+    # threshold drops them (FN + IDS), the LP keeps them when association
+    # evidence outweighs the low det score.
+    noise = dict(drop_prob=0.1, fp_prob=0.5, jitter_px=2.0,
+                 degrade_prob=0.2, full_gt=True, sequences=4, seed0=3000)
+    rows["noisy_nofilter"] = evaluate(net, variables, cfg, cfg.assoc,
+                                      **noise)
+    rows["noisy_threshold"] = evaluate(net, variables, cfg, cfg.assoc,
+                                       score_threshold=0.5, **noise)
+    # det_score_weight balances det evidence against the (0..1) link and
+    # new/end scores in the LP.  Too small and the trained new-head (which
+    # scores FPs "new" — they ARE new under the training labels) vetoes
+    # every rejection; too large and the LP degenerates to hard
+    # thresholding.  3.0 lets association evidence save linked ambiguous
+    # detections while unlinked low-scores still reject — the point of
+    # carrying y_det INSIDE the LP.
+    rows["noisy_ydet"] = evaluate(
+        net, variables, cfg,
+        dataclasses.replace(cfg.assoc, use_det_scores=True,
+                            det_score_weight=2.0), **noise)
+
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),
-              "final_loss": float(metrics["total"])}
+              "final_loss": float(metrics["total"]),
+              "det_head": det_diag}
     for k, m in rows.items():
         report[k] = {"mota": round(m.mota, 4), "motp": round(m.motp, 4),
-                     "ids": m.id_switches, "frag": m.fragments}
+                     "ids": m.id_switches, "frag": m.fragments,
+                     "tp": m.tp, "fp": m.fp, "fn": m.fn}
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -166,9 +265,19 @@ def main():
     print(json.dumps(report, indent=2))
 
     ok = rows["full"].mota >= 0.90
+    # Noisy-regime bars: y_det LP rejection must beat unfiltered output
+    # and at least match post-hoc thresholding (it sees the same det head
+    # through the LP, plus the association evidence).
+    noisy_ok = (rows["noisy_ydet"].mota > rows["noisy_nofilter"].mota
+                and rows["noisy_ydet"].mota
+                >= rows["noisy_threshold"].mota - 1e-9)
     print(f"QUALITY {'PASS' if ok else 'FAIL'}: full MOTA "
           f"{rows['full'].mota:.4f} (bar 0.90)")
-    return 0 if ok else 1
+    print(f"NOISY   {'PASS' if noisy_ok else 'FAIL'}: nofilter "
+          f"{rows['noisy_nofilter'].mota:.4f} | threshold "
+          f"{rows['noisy_threshold'].mota:.4f} | y_det "
+          f"{rows['noisy_ydet'].mota:.4f}")
+    return 0 if (ok and noisy_ok) else 1
 
 
 if __name__ == "__main__":

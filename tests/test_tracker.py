@@ -313,3 +313,54 @@ def test_pallas_affinity_end_to_end_matches_xla():
         np.testing.assert_array_equal(np.asarray(outs[name]["ids"]),
                                       np.asarray(outs["xla"]["ids"]),
                                       err_msg=name)
+
+
+def test_hybrid_presolve_matches_sequential_ydet():
+    """y_det mode (LP detection rejection): the hybrid pre-solve — batched
+    correlation matmuls + mask-dependent scan — must produce EXACTLY the
+    decisions of the fully sequential step_from_feats scan, including on
+    sequences where rejections actually shrink the carried mask."""
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 6, 8, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    rng = np.random.default_rng(31)
+    crops = jnp.asarray(rng.normal(0, 1, (T, Ns, 32, 32, 3)).astype(
+        np.float32))
+    points = jnp.asarray(rng.normal(0, 1, (T, Ns, P, 4)).astype(np.float32))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm = jnp.asarray(np.arange(Ns)[None, :]
+                     < rng.integers(2, Ns + 1, (T, 1)))
+
+    # Test contrivance: an untrained det head emits uniformly POSITIVE
+    # logits (~0.5-1.2), so a negative weight is the only way to get a
+    # MIX of LP accepts and rejects — which is exactly the regime where
+    # the carried mask actually shrinks and the hybrid could diverge.
+    acfg = AssocConfig(solver="auction", use_det_scores=True,
+                       det_score_weight=-1.0)
+    outs = {}
+    for name, hybrid in (("hybrid", True), ("sequential", False)):
+        m = TrackingModule(net, vars_, acfg, hybrid_presolve=hybrid)
+        assert not m.parallel_assoc
+        outs[name] = jax.jit(lambda c, p, q, d, m=m: track_sequence(
+            m, c, p, q, d))(crops, points, pm, dm)
+    np.testing.assert_array_equal(np.asarray(outs["hybrid"]["ids"]),
+                                  np.asarray(outs["sequential"]["ids"]))
+    np.testing.assert_allclose(np.asarray(outs["hybrid"]["det_score"]),
+                               np.asarray(outs["sequential"]["det_score"]),
+                               atol=1e-6)
+    # The regime is non-trivial: at least one detection must actually be
+    # rejected somewhere (ids == -1 at a valid slot).
+    ids = np.asarray(outs["sequential"]["ids"])
+    assert ((ids < 0) & np.asarray(dm)).any(), \
+        "no rejection happened; raise det_score_weight"
