@@ -153,7 +153,12 @@ def main():
     jax.block_until_ready(variables)
     hb("model_init", f"params inited (compact={compact})")
 
-    module = TrackingModule(net, variables, cfg.assoc)
+    # MMMOT_BENCH_PALLAS: "1" force the fused affinity kernel, "0" force
+    # the XLA modules, unset = auto (kernel ON for the TPU backend).
+    pal = os.environ.get("MMMOT_BENCH_PALLAS")
+    module = TrackingModule(net, variables, cfg.assoc,
+                            use_pallas_affinity=(None if pal is None
+                                                 else pal == "1"))
     from mmmot_tpu.tracker.kitti_runner import _crop_window
 
     crop_window = CROP_WINDOW or _crop_window(boxes_h, det_mask_h, W)
@@ -249,6 +254,7 @@ def main():
         "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
                    "compact": compact, "chunk": CHUNK,
                    "crop_window": crop_window, "det_mode": DET_MODE,
+                   "pallas_affinity": module.use_pallas_affinity,
                    "dropped_dets": dropped, "devices": n_dev,
                    "aggregate_fps": round(fps, 2),
                    "run_secs": [round(t, 3) for t in run_times],

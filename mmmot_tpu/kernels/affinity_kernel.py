@@ -89,30 +89,27 @@ def _pool(link, pm_f, axis, mode: str):
     raise ValueError(f"unknown pool {mode!r}")
 
 
-def _kernel(a_ref, b_ref, mp_ref, mc_ref,
+def _kernel(a_ref, b_ref, mp_ref, mpc_ref, mc_ref,
             w1_ref, b1_ref, mean_ref, inv_ref, sc_ref, sb_ref,
             w2_ref, b2_ref,
-            wn1_ref, bn1_ref, wn2_ref, bn2_ref,
-            we1_ref, be1_ref, ew2_ref, eb2_ref,
+            wn1_ref, wnp_ref, bn1_ref, wn2_ref, bn2_ref,
+            we1_ref, wep_ref, be1_ref, ew2_ref, eb2_ref,
             link_ref, norm_ref, new_ref, end_ref, *,
             ops: Tuple[str, ...], pool: str, softmax_mode: str,
             avg: bool, block_rows: int):
     K = a_ref.shape[1]
     N = a_ref.shape[2]
     cdt = a_ref.dtype
-    mp = mp_ref[0]                       # [N] compute-dtype 0/1
-    mc = mc_ref[0]
-    pm_f = mp[:, None] * mc[None, :]     # [N, N]
-
-    def dense(x, w, b):
-        # flax Dense with dtype=cdt: f32 MXU accumulation, output cast to
-        # cdt, bias added in cdt.
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        return y.astype(cdt) + b
+    f32 = jnp.float32
+    # Masks arrive f32 (Mosaic restricts several sub-32-bit vector shape
+    # ops — e.g. minor-dim insertion like mask[:, None] — to 32-bit).
+    mp = mp_ref[0, 0]                    # [N] f32 0/1
+    mc = mc_ref[0, 0]
+    pm_f = mp[:, None] * mc[None, :]     # [N, N] f32
 
     def row_block(i, _):
         sl = pl.ds(i * block_rows, block_rows)
-        acc = None
+        acc = None                                        # f32 [BR*N, 1]
         for k in range(K):
             ab = a_ref[0, k, sl, :]                       # [BR, D]
             bb = b_ref[0, k]                              # [N, D]
@@ -122,22 +119,28 @@ def _kernel(a_ref, b_ref, mp_ref, mc_ref,
                 for op in ops]
             pair = (jnp.concatenate(pieces, axis=-1) if len(pieces) > 1
                     else pieces[0])
-            h0 = dense(pair, w1_ref[0, k], b1_ref[0, k])  # [BR*N, H]
+            h0 = (jnp.dot(pair, w1_ref[0, k],
+                          preferred_element_type=f32).astype(cdt)
+                  + b1_ref[0, k])                         # [BR*N, H]
             # Eval-mode MaskedBatchNorm, f32 exactly like models/layers.py
             # (NOT folded into the Dense — folding reassociates the math).
-            hf = ((h0.astype(jnp.float32) - mean_ref[0, k]) * inv_ref[0, k]
+            hf = ((h0.astype(f32) - mean_ref[0, k]) * inv_ref[0, k]
                   * sc_ref[0, k] + sb_ref[0, k]).astype(cdt)
             h = jnp.maximum(hf, jnp.zeros((), cdt))
-            s = (jnp.dot(h, w2_ref[0, k][:, None],
-                         preferred_element_type=jnp.float32).astype(cdt)
-                 + b2_ref[0, k])                          # [BR*N, 1]
-            s = s[:, 0].reshape(block_rows, N)
-            acc = s if acc is None else acc + s
+            # Score accumulates in f32 ([BR*N, 1] — reshapes to [BR, N]
+            # happen in f32; Mosaic restricts bf16 reshapes).
+            sk = (jnp.dot(h, w2_ref[0, k],
+                          preferred_element_type=f32)
+                  + b2_ref[0, k])                         # [BR*N, 1] f32
+            acc = sk if acc is None else acc + sk
         if avg:
-            acc = acc / jnp.asarray(K, cdt)
-        mp_blk = jax.lax.dynamic_slice_in_dim(mp, i * block_rows,
-                                              block_rows)
-        link_ref[0, sl, :] = acc * (mp_blk[:, None] * mc[None, :])
+            acc = acc / jnp.asarray(K, f32)
+        acc = acc[:, 0].reshape(block_rows, N)
+        # Prev-mask block from the COLUMN-layout copy: a dynamic slice on
+        # the lane (minor) dim would need 128 alignment; on the sublane
+        # dim block_rows alignment suffices.
+        mp_blk = mpc_ref[0, sl, :]                        # [BR, 1] f32
+        link_ref[0, sl, :] = (acc * (mp_blk * mc[None, :])).astype(cdt)
         return 0
 
     jax.lax.fori_loop(0, N // block_rows, row_block, 0)
@@ -152,28 +155,30 @@ def _kernel(a_ref, b_ref, mp_ref, mc_ref,
             norm_ref[0, :, :] = row
         else:
             col = _masked_softmax(link, pm_f, axis=-2)
-            norm_ref[0, :, :] = jnp.asarray(0.5, cdt) * (row + col)
+            norm_ref[0, :, :] = (jnp.asarray(0.5, cdt) * (row + col)
+                                 ).astype(cdt)
 
-    # New/end heads (models/new_end.py NewEndIndicator v2): pooled
-    # affinity evidence concatenated to the fused feature, 2-layer MLP.
-    row_best = _pool(link, pm_f, axis=-1, mode=pool)      # [N] prev
-    col_best = _pool(link, pm_f, axis=-2, mode=pool)      # [N] curr
-    new_in = jnp.concatenate(
-        [b_ref[0, 0], col_best[:, None].astype(cdt)], axis=-1)
-    end_in = jnp.concatenate(
-        [a_ref[0, 0], row_best[:, None].astype(cdt)], axis=-1)
-    hn = jnp.maximum(dense(new_in, wn1_ref[:, :], bn1_ref[:]),
-                     jnp.zeros((), cdt))
-    he = jnp.maximum(dense(end_in, we1_ref[:, :], be1_ref[:]),
-                     jnp.zeros((), cdt))
-    new = (jnp.dot(hn, wn2_ref[:][:, None],
-                   preferred_element_type=jnp.float32).astype(cdt)
-           + bn2_ref[0])[:, 0]
-    end = (jnp.dot(he, ew2_ref[:][:, None],
-                   preferred_element_type=jnp.float32).astype(cdt)
-           + eb2_ref[0])[:, 0]
-    new_ref[0, :] = new * mc
-    end_ref[0, :] = end * mp
+    # New/end heads (models/new_end.py NewEndIndicator v2): the feature |
+    # pooled-evidence concat Dense is computed as a SPLIT matmul (feature
+    # part on the MXU + rank-1 pooled part) — Mosaic has no sub-32-bit
+    # unaligned concat, and the split is the same contraction up to float
+    # associativity.
+    row_best = _pool(link, pm_f, axis=-1, mode=pool).astype(f32)   # [N]
+    col_best = _pool(link, pm_f, axis=-2, mode=pool).astype(f32)   # [N]
+
+    def head(feat, pooled, w_feat, w_pool, b1, w2, b2):
+        hf = (jnp.dot(feat, w_feat, preferred_element_type=f32)
+              + pooled[:, None] * w_pool[0][None, :] + b1[None, :])
+        h = jnp.maximum(hf.astype(cdt), jnp.zeros((), cdt))
+        return (jnp.dot(h, w2, preferred_element_type=f32)
+                + b2[0])[:, 0]                            # [N] f32
+
+    new = head(b_ref[0, 0], col_best, wn1_ref[:, :], wnp_ref, bn1_ref[:],
+               wn2_ref[:, :], bn2_ref)
+    end = head(a_ref[0, 0], row_best, we1_ref[:, :], wep_ref, be1_ref[:],
+               ew2_ref[:, :], eb2_ref)
+    new_ref[0, 0, :] = (new * mc).astype(cdt)
+    end_ref[0, 0, :] = (end * mp).astype(cdt)
 
 
 def _pad_n(x, n_pad, axis):
@@ -211,11 +216,15 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
     n_pad = -(-N // align) * align
     a = _pad_n(a, n_pad, 2)
     b = _pad_n(b, n_pad, 2)
-    mp = _pad_n(mask_prev.astype(cdt), n_pad, 1)
-    mc = _pad_n(mask_curr.astype(cdt), n_pad, 1)
+    # Masks/new/end carry an explicit singleton axis: Mosaic requires the
+    # last two block dims to be (8,128)-divisible OR equal to the array
+    # dims — [B, 1, N] satisfies that, [B, N] blocked (1, N) does not.
+    mp = _pad_n(mask_prev.astype(jnp.float32), n_pad, 1)[:, None, :]
+    mpc = jnp.swapaxes(mp, 1, 2)          # [B, N, 1] column layout
+    mc = _pad_n(mask_curr.astype(jnp.float32), n_pad, 1)[:, None, :]
 
-    H = params["w2"].shape[-1]
-    hh = params["wn2"].shape[-1]
+    H = params["w2"].shape[-2]
+    hh = params["wn2"].shape[-2]
     Dc = params["w1"].shape[-2]
 
     kernel = functools.partial(
@@ -229,15 +238,18 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
         pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # inv
         pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # scale
         pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # bias
-        pl.BlockSpec((1, K, H), lambda i: (0, 0, 0), memory_space=vm),      # w2
+        pl.BlockSpec((1, K, H, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=vm),                                      # w2
         pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=vm),            # b2
-        pl.BlockSpec((D + 1, hh), lambda i: (0, 0), memory_space=vm),       # wn1
+        pl.BlockSpec((D, hh), lambda i: (0, 0), memory_space=vm),           # wn1
+        pl.BlockSpec((1, hh), lambda i: (0, 0), memory_space=vm),           # wnp
         pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # bn1
-        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # wn2
+        pl.BlockSpec((hh, 1), lambda i: (0, 0), memory_space=vm),           # wn2
         pl.BlockSpec((1,), lambda i: (0,), memory_space=vm),                # bn2
-        pl.BlockSpec((D + 1, hh), lambda i: (0, 0), memory_space=vm),       # we1
+        pl.BlockSpec((D, hh), lambda i: (0, 0), memory_space=vm),           # we1
+        pl.BlockSpec((1, hh), lambda i: (0, 0), memory_space=vm),           # wep
         pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # be1
-        pl.BlockSpec((hh,), lambda i: (0,), memory_space=vm),               # ew2
+        pl.BlockSpec((hh, 1), lambda i: (0, 0), memory_space=vm),           # ew2
         pl.BlockSpec((1,), lambda i: (0,), memory_space=vm),                # eb2
     ]
     p = params
@@ -246,8 +258,8 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
         out_shape=(
             jax.ShapeDtypeStruct((B, n_pad, n_pad), cdt),
             jax.ShapeDtypeStruct((B, n_pad, n_pad), cdt),
-            jax.ShapeDtypeStruct((B, n_pad), cdt),
-            jax.ShapeDtypeStruct((B, n_pad), cdt),
+            jax.ShapeDtypeStruct((B, 1, n_pad), cdt),
+            jax.ShapeDtypeStruct((B, 1, n_pad), cdt),
         ),
         grid_spec=pl.GridSpec(
             grid=(B,),
@@ -256,16 +268,22 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
                              memory_space=vm),
                 pl.BlockSpec((1, K, n_pad, D), lambda i: (i, 0, 0, 0),
                              memory_space=vm),
-                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
-                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, n_pad, 1), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
             ] + wspecs,
             out_specs=(
                 pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
                              memory_space=vm),
                 pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
                              memory_space=vm),
-                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
-                pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                             memory_space=vm),
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -275,12 +293,13 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
             transcendentals=B * 2 * n_pad * n_pad,
         ),
         interpret=interpret,
-    )(a, b, mp, mc,
+    )(a, b, mp, mpc, mc,
       p["w1"][None], p["b1"][None], p["bn_mean"][None], p["bn_inv"][None],
       p["bn_scale"][None], p["bn_bias"][None], p["w2"][None], p["b2"][None],
-      p["wn1"], p["bn1"], p["wn2"], p["bn2"],
-      p["we1"], p["be1"], p["ew2"], p["eb2"])
-    return (link[:, :N, :N], norm[:, :N, :N], new[:, :N], end[:, :N])
+      p["wn1"], p["wnp"], p["bn1"], p["wn2"], p["bn2"],
+      p["we1"], p["wep"], p["be1"], p["ew2"], p["eb2"])
+    return (link[:, :N, :N], norm[:, :N, :N], new[:, 0, :N],
+            end[:, 0, :N])
 
 
 def pallas_supported(cfg) -> bool:
@@ -319,17 +338,22 @@ def build_affinity_params(variables, cfg, branches: Tuple[str, ...],
         "bn_scale": stack(lambda p, s: p["head_bn_0"]["scale"]),
         "bn_bias": stack(lambda p, s: p["head_bn_0"]["bias"]),
         "w2": stack(
-            lambda p, s: p["head_out"]["kernel"][:, 0]).astype(compute_dtype),
-        "b2": stack(
-            lambda p, s: p["head_out"]["bias"][0]).astype(compute_dtype),
+            lambda p, s: p["head_out"]["kernel"]).astype(compute_dtype),
+        # Scalar/bias terms stay f32: Mosaic lowers only 32-bit scalar
+        # extracts, and the kernel's score path accumulates in f32.
+        "b2": stack(lambda p, s: p["head_out"]["bias"][0]).astype(
+            jnp.float32),
     }
     ne = params["new_end"]
-    for (k1, k1b, k2, k2b), mlp in ((("wn1", "bn1", "wn2", "bn2"),
-                                     ne["new_mlp"]),
-                                    (("we1", "be1", "ew2", "eb2"),
-                                     ne["end_mlp"])):
-        out[k1] = mlp["dense_0"]["kernel"].astype(compute_dtype)
-        out[k1b] = mlp["dense_0"]["bias"].astype(compute_dtype)
-        out[k2] = mlp["dense_1"]["kernel"][:, 0].astype(compute_dtype)
-        out[k2b] = mlp["dense_1"]["bias"].astype(compute_dtype)   # [1]
+    # The new/end Dense over concat([feat, pooled]) splits into a feature
+    # part (rows :-1, MXU matmul) and the pooled-evidence row (rank-1 add
+    # in the kernel) — same contraction, Mosaic-friendly shapes.
+    for (k1, kp, k1b, k2, k2b), mlp in (
+            (("wn1", "wnp", "bn1", "wn2", "bn2"), ne["new_mlp"]),
+            (("we1", "wep", "be1", "ew2", "eb2"), ne["end_mlp"])):
+        out[k1] = mlp["dense_0"]["kernel"][:-1].astype(compute_dtype)
+        out[kp] = mlp["dense_0"]["kernel"][-1:].astype(jnp.float32)
+        out[k1b] = mlp["dense_0"]["bias"].astype(jnp.float32)
+        out[k2] = mlp["dense_1"]["kernel"].astype(compute_dtype)
+        out[k2b] = mlp["dense_1"]["bias"].astype(jnp.float32)     # [1] f32
     return out

@@ -93,13 +93,25 @@ def tracking_loss(outputs: Dict[str, jnp.ndarray],
     bce_new = _masked_bce(outputs["new"], batch["gt_new"], sup_curr)
     bce_end = _masked_bce(outputs["end"], batch["gt_end"], sup_prev)
 
+    # FP-involving pairs get explicit link suppression: with FP rows out
+    # of the CE, an FP<->FP pair would otherwise be entirely unsupervised
+    # and the link head free to chain clutter across frames (measured: it
+    # does).  Real->FP pairs are doubly covered (CE columns + this).
+    bce_fp_link = 0.0
+    if "gt_ids" in batch:
+        vp = pair_mask(mask_prev, mask_curr)
+        rp = pair_mask(sup_prev, sup_curr)
+        fp_pair = vp & ~rp
+        bce_fp_link = _masked_bce(link, jnp.zeros_like(link), fp_pair)
+
     metrics = {"ce_prev": ce_prev, "ce_curr": ce_curr,
                "bce_new": bce_new, "bce_end": bce_end,
+               "bce_fp_link": bce_fp_link,
                # Observability: with compact-first training this is the
                # KEPT count — watch it against the batch's true valid
                # count to catch capacity overflow.
                "n_dets": jnp.sum(det_mask.astype(jnp.float32))}
-    total = (w_link * (ce_prev + ce_curr)
+    total = (w_link * (ce_prev + ce_curr + bce_fp_link)
              + w_new * bce_new + w_end * bce_end)
 
     if "det" in outputs and "gt_ids" in batch:

@@ -134,7 +134,7 @@ def main():
         b = make_training_batch(rng, batch_size=cfg.train.batch_size,
                                 num_slots=N, crop_size=cfg.data.crop_size,
                                 points_per_det=P, drop_prob=0.1,
-                                fp_prob=0.5, degrade_prob=0.2)
+                                fp_prob=0.6, degrade_prob=0.1)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     batch0 = next_batch()
@@ -179,7 +179,7 @@ def main():
     world = make_synthetic_sequence(
         np.random.default_rng(3000), num_frames=30, num_slots=N,
         crop_size=cfg.data.crop_size, points_per_det=P, drop_prob=0.1,
-        fp_prob=0.5, jitter_px=2.0, degrade_prob=0.2)
+        fp_prob=0.6, jitter_px=2.0, degrade_prob=0.1)
     mdiag = TrackingModule(net, variables, cfg.assoc)
     outd = jax.jit(lambda c, p, q, d: track_sequence(mdiag, c, p, q, d))(
         jnp.asarray(world.crops), jnp.asarray(world.points),
@@ -226,8 +226,12 @@ def main():
     # (clutter-like stats but a live, correlating signature): a post-hoc
     # threshold drops them (FN + IDS), the LP keeps them when association
     # evidence outweighs the low det score.
-    noise = dict(drop_prob=0.1, fp_prob=0.5, jitter_px=2.0,
-                 degrade_prob=0.2, full_gt=True, sequences=4, seed0=3000)
+    # Ambiguous-class base rate ~0.25 (FPs outnumber degraded TPs): the
+    # det head scores the whole class near the base rate, BELOW the 0.5
+    # threshold — post-hoc filtering wipes out the degraded TPs with the
+    # FPs.  The LP can still tell them apart through link evidence.
+    noise = dict(drop_prob=0.1, fp_prob=0.6, jitter_px=2.0,
+                 degrade_prob=0.1, full_gt=True, sequences=4, seed0=3000)
     rows["noisy_nofilter"] = evaluate(net, variables, cfg, cfg.assoc,
                                       **noise)
     rows["noisy_threshold"] = evaluate(net, variables, cfg, cfg.assoc,
@@ -242,7 +246,7 @@ def main():
     rows["noisy_ydet"] = evaluate(
         net, variables, cfg,
         dataclasses.replace(cfg.assoc, use_det_scores=True,
-                            det_score_weight=2.0), **noise)
+                            det_score_weight=0.3), **noise)
 
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),
