@@ -134,7 +134,7 @@ def main():
         b = make_training_batch(rng, batch_size=cfg.train.batch_size,
                                 num_slots=N, crop_size=cfg.data.crop_size,
                                 points_per_det=P, drop_prob=0.1,
-                                fp_prob=0.6, degrade_prob=0.1)
+                                fp_prob=0.6, degrade_prob=0.15)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     batch0 = next_batch()
@@ -179,7 +179,7 @@ def main():
     world = make_synthetic_sequence(
         np.random.default_rng(3000), num_frames=30, num_slots=N,
         crop_size=cfg.data.crop_size, points_per_det=P, drop_prob=0.1,
-        fp_prob=0.6, jitter_px=2.0, degrade_prob=0.1)
+        fp_prob=0.6, jitter_px=2.0, degrade_prob=0.15)
     mdiag = TrackingModule(net, variables, cfg.assoc)
     outd = jax.jit(lambda c, p, q, d: track_sequence(mdiag, c, p, q, d))(
         jnp.asarray(world.crops), jnp.asarray(world.points),
@@ -231,7 +231,7 @@ def main():
     # threshold — post-hoc filtering wipes out the degraded TPs with the
     # FPs.  The LP can still tell them apart through link evidence.
     noise = dict(drop_prob=0.1, fp_prob=0.6, jitter_px=2.0,
-                 degrade_prob=0.1, full_gt=True, sequences=4, seed0=3000)
+                 degrade_prob=0.15, full_gt=True, sequences=4, seed0=3000)
     rows["noisy_nofilter"] = evaluate(net, variables, cfg, cfg.assoc,
                                       **noise)
     rows["noisy_threshold"] = evaluate(net, variables, cfg, cfg.assoc,
@@ -246,7 +246,7 @@ def main():
     rows["noisy_ydet"] = evaluate(
         net, variables, cfg,
         dataclasses.replace(cfg.assoc, use_det_scores=True,
-                            det_score_weight=0.3), **noise)
+                            det_score_weight=0.5), **noise)
 
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),
