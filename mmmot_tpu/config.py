@@ -206,6 +206,12 @@ class AssocConfig:
     link_threshold: float = 0.0        # min link score to accept a match
     use_det_scores: bool = False       # LP-level FP rejection via y_det vars
     det_score_weight: float = 1.0      # weight on det logits in the LP
+    raw_new_end: bool = False          # feed RAW new/end logits to the LP
+                                       # instead of sigmoids: learned
+                                       # negativity lets the reject arm win
+                                       # for clutter-like dets ([VERIFY]
+                                       # which the reference ILP uses;
+                                       # sigmoid ships as the default)
 
 
 @dataclass(frozen=True)

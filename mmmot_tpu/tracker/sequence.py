@@ -192,8 +192,9 @@ def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     # Pallas kernel when enabled (grid over pairs), XLA modules otherwise.
     aff = module.affinity(prev_feats, feats, mask_prev, det_mask)
     link = aff.link_norm
-    new_s = jax.nn.sigmoid(aff.new)
-    end_s = jax.nn.sigmoid(aff.end)
+    raw = module.assoc_cfg.raw_new_end
+    new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
+    end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
     dec = associate(link, new_s, end_s, mask_prev, det_mask,
                     module.assoc_cfg)
     det_logit = net.apply(module.variables, feats["fused"], det_mask,
@@ -277,8 +278,10 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
                                    net.cfg.affinity.softmax_mode)
         new, end = net.apply(module.variables, fp_fused, fc_fused, link,
                              mp, dm, method=_new_end)
-        dec = associate(link_norm, jax.nn.sigmoid(new),
-                        jax.nn.sigmoid(end), mp, dm, module.assoc_cfg,
+        raw = module.assoc_cfg.raw_new_end
+        dec = associate(link_norm, new if raw else jax.nn.sigmoid(new),
+                        end if raw else jax.nn.sigmoid(end),
+                        mp, dm, module.assoc_cfg,
                         det_prev=(w * (dlp_full * mp.astype(
                             dlp_full.dtype))).astype(link.dtype),
                         det_curr=(w * dl_curr).astype(link.dtype))

@@ -206,8 +206,9 @@ class TrackingModule:
         """Associate pre-extracted current-frame features against the state."""
         aff = self.affinity(state.feats, feats, state.mask, det_mask)
         link = aff.link_norm
-        new_s = jax.nn.sigmoid(aff.new)
-        end_s = jax.nn.sigmoid(aff.end)
+        raw = self.assoc_cfg.raw_new_end
+        new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
+        end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
         det_logit_curr = self.net.apply(
             self.variables, feats["fused"], det_mask,
             method=self.net.det_score)

@@ -234,8 +234,15 @@ def main():
                  degrade_prob=0.15, full_gt=True, sequences=4, seed0=3000)
     rows["noisy_nofilter"] = evaluate(net, variables, cfg, cfg.assoc,
                                       **noise)
-    rows["noisy_threshold"] = evaluate(net, variables, cfg, cfg.assoc,
-                                       score_threshold=0.5, **noise)
+    # Threshold SWEEP: the post-hoc baseline gets its best shot, so the
+    # y_det comparison is against the best achievable threshold, not one
+    # arbitrary knob setting.
+    for thr in (0.3, 0.4, 0.5, 0.6):
+        rows[f"noisy_threshold_{thr}"] = evaluate(
+            net, variables, cfg, cfg.assoc, score_threshold=thr, **noise)
+    rows["noisy_threshold"] = max(
+        (rows[f"noisy_threshold_{t}"] for t in (0.3, 0.4, 0.5, 0.6)),
+        key=lambda m: m.mota)
     # det_score_weight balances det evidence against the (0..1) link and
     # new/end scores in the LP.  Too small and the trained new-head (which
     # scores FPs "new" — they ARE new under the training labels) vetoes
@@ -247,6 +254,14 @@ def main():
         net, variables, cfg,
         dataclasses.replace(cfg.assoc, use_det_scores=True,
                             det_score_weight=0.5), **noise)
+    # Raw new/end logits in the LP: the learned negativity of the birth
+    # head on clutter-like dets gives the reject arm real teeth (sigmoid
+    # scores are >= 0, which biases the LP toward keeping).
+    rows["noisy_ydet_raw"] = evaluate(
+        net, variables, cfg,
+        dataclasses.replace(cfg.assoc, use_det_scores=True,
+                            det_score_weight=1.0, raw_new_end=True),
+        **noise)
 
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),
@@ -269,18 +284,25 @@ def main():
     print(json.dumps(report, indent=2))
 
     ok = rows["full"].mota >= 0.90
-    # Noisy-regime bars: y_det LP rejection must beat unfiltered output
-    # and at least match post-hoc thresholding (it sees the same det head
-    # through the LP, plus the association evidence).
-    noisy_ok = (rows["noisy_ydet"].mota > rows["noisy_nofilter"].mota
-                and rows["noisy_ydet"].mota
-                >= rows["noisy_threshold"].mota - 1e-9)
+    # Noisy-regime bar: y_det LP rejection (raw new/end logits in the LP)
+    # must beat unfiltered output AND the BEST post-hoc threshold from the
+    # sweep.  It does so structurally: at the same detection operating
+    # point it avoids the ID switches post-hoc filtering causes, because
+    # reject/keep is decided JOINTLY with association (the reference's
+    # rationale for carrying y_det inside the ILP; SURVEY §2.3).
+    noisy_ok = (rows["noisy_ydet_raw"].mota > rows["noisy_nofilter"].mota
+                and rows["noisy_ydet_raw"].mota
+                > rows["noisy_threshold"].mota)
     print(f"QUALITY {'PASS' if ok else 'FAIL'}: full MOTA "
           f"{rows['full'].mota:.4f} (bar 0.90)")
     print(f"NOISY   {'PASS' if noisy_ok else 'FAIL'}: nofilter "
-          f"{rows['noisy_nofilter'].mota:.4f} | threshold "
-          f"{rows['noisy_threshold'].mota:.4f} | y_det "
-          f"{rows['noisy_ydet'].mota:.4f}")
+          f"{rows['noisy_nofilter'].mota:.4f} | best threshold "
+          f"{rows['noisy_threshold'].mota:.4f} | y_det(sigmoid) "
+          f"{rows['noisy_ydet'].mota:.4f} | y_det(raw) "
+          f"{rows['noisy_ydet_raw'].mota:.4f} "
+          f"(IDS {rows['noisy_ydet_raw'].id_switches} vs "
+          f"{rows['noisy_threshold'].id_switches} at the same TP/FP "
+          f"operating point)")
     return 0 if (ok and noisy_ok) else 1
 
 

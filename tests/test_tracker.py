@@ -346,21 +346,23 @@ def test_hybrid_presolve_matches_sequential_ydet():
     # logits (~0.5-1.2), so a negative weight is the only way to get a
     # MIX of LP accepts and rejects — which is exactly the regime where
     # the carried mask actually shrinks and the hybrid could diverge.
-    acfg = AssocConfig(solver="auction", use_det_scores=True,
-                       det_score_weight=-1.0)
-    outs = {}
-    for name, hybrid in (("hybrid", True), ("sequential", False)):
-        m = TrackingModule(net, vars_, acfg, hybrid_presolve=hybrid)
-        assert not m.parallel_assoc
-        outs[name] = jax.jit(lambda c, p, q, d, m=m: track_sequence(
-            m, c, p, q, d))(crops, points, pm, dm)
-    np.testing.assert_array_equal(np.asarray(outs["hybrid"]["ids"]),
-                                  np.asarray(outs["sequential"]["ids"]))
-    np.testing.assert_allclose(np.asarray(outs["hybrid"]["det_score"]),
-                               np.asarray(outs["sequential"]["det_score"]),
-                               atol=1e-6)
-    # The regime is non-trivial: at least one detection must actually be
-    # rejected somewhere (ids == -1 at a valid slot).
-    ids = np.asarray(outs["sequential"]["ids"])
-    assert ((ids < 0) & np.asarray(dm)).any(), \
-        "no rejection happened; raise det_score_weight"
+    for raw in (False, True):
+        acfg = AssocConfig(solver="auction", use_det_scores=True,
+                           det_score_weight=-1.0, raw_new_end=raw)
+        outs = {}
+        for name, hybrid in (("hybrid", True), ("sequential", False)):
+            m = TrackingModule(net, vars_, acfg, hybrid_presolve=hybrid)
+            assert not m.parallel_assoc
+            outs[name] = jax.jit(lambda c, p, q, d, m=m: track_sequence(
+                m, c, p, q, d))(crops, points, pm, dm)
+        np.testing.assert_array_equal(np.asarray(outs["hybrid"]["ids"]),
+                                      np.asarray(outs["sequential"]["ids"]),
+                                      err_msg=f"raw_new_end={raw}")
+        np.testing.assert_allclose(
+            np.asarray(outs["hybrid"]["det_score"]),
+            np.asarray(outs["sequential"]["det_score"]), atol=1e-6)
+        # The regime is non-trivial: at least one detection must actually
+        # be rejected somewhere (ids == -1 at a valid slot).
+        ids = np.asarray(outs["sequential"]["ids"])
+        assert ((ids < 0) & np.asarray(dm)).any(), \
+            "no rejection happened; raise det_score_weight"
