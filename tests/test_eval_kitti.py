@@ -234,3 +234,47 @@ def test_mt_ml_boundary_closed_convention():
 
     with pytest.raises(ValueError, match="boundary"):
         TrackingEvaluation(boundary="open")
+
+
+def test_ids_persist_across_long_gap():
+    """Devkit IDS semantics: the last matched tracker id persists across an
+    arbitrarily long untracked gap — a re-match with the SAME id after the
+    gap is NOT an ID switch; a different id IS (one IDS, charged at the
+    re-match frame)."""
+    gt = {f: [obj(f, 1, B1)] for f in range(10)}
+    # Same id 5 before and after a 4-frame gap: no IDS, one FRAG.
+    trk_same = {f: [obj(f, 5, B1)] for f in (0, 1, 2, 7, 8, 9)}
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk_same, num_frames=10)
+    m = ev.compute()
+    assert m.id_switches == 0 and m.fragments == 1
+
+    # Different id after the gap: exactly one IDS (not one per gap frame).
+    trk_diff = {f: [obj(f, 5 if f < 3 else 6, B1)]
+                for f in (0, 1, 2, 7, 8, 9)}
+    ev2 = TrackingEvaluation()
+    ev2.add_sequence(gt, trk_diff, num_frames=10)
+    m2 = ev2.compute()
+    assert m2.id_switches == 1 and m2.fragments == 1
+
+
+def test_frag_counts_each_interruption():
+    """FRAG: every tracked->untracked transition with later coverage counts;
+    a trailing untracked stretch does not."""
+    gt = {f: [obj(f, 1, B1)] for f in range(10)}
+    # Tracked 0-1, gap 2, tracked 3-4, gap 5, tracked 6, untracked 7-9.
+    trk = {f: [obj(f, 5, B1)] for f in (0, 1, 3, 4, 6)}
+    ev = TrackingEvaluation()
+    ev.add_sequence(gt, trk, num_frames=10)
+    m = ev.compute()
+    assert m.fragments == 2        # interruptions at 2 and 5; 7-9 trails
+    assert m.id_switches == 0
+
+
+def test_cyclist_class_scoring():
+    """track_class Cyclist scores like any class (no special ignore set)."""
+    gt = {f: [obj(f, 1, B1, typ="Cyclist")] for f in range(5)}
+    ev = TrackingEvaluation(cls="cyclist")
+    ev.add_sequence(gt, gt, num_frames=5)
+    m = ev.compute()
+    assert m.mota == 1.0 and m.mt == 1.0
