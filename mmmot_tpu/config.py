@@ -212,6 +212,17 @@ class AssocConfig:
                                        # for clutter-like dets ([VERIFY]
                                        # which the reference ILP uses;
                                        # sigmoid ships as the default)
+    revival_window: int = 0            # 0 = strictly adjacent-frame like
+                                       # the reference (SURVEY §3.2
+                                       # [VERIFY]: terminated tracks are
+                                       # not revived).  K > 0 keeps
+                                       # unmatched tracks as GHOSTS for up
+                                       # to K frames: a later detection
+                                       # matching a ghost revives its ID —
+                                       # detector dropouts stop costing an
+                                       # ID switch.  Forces the sequential
+                                       # scan (ghost pool is
+                                       # decision-dependent state).
 
 
 @dataclass(frozen=True)

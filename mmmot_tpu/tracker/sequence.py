@@ -147,9 +147,10 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         # dead sensor (crops/points None) the single-modality branches are
         # absent, and the scan carry must match (sensor-failure operation
         # is a product feature; reference keeps per-modality paths alive).
-        from mmmot_tpu.tracker.tracker import init_state
-
-        state0 = init_state({k: v.shape[-1] for k, v in feats.items()}, N)
+        # make_state0 sizes the registry for the module (2N slots + missed
+        # counters when revival_window > 0).
+        state0 = module.make_state0(
+            {k: v.shape[-1] for k, v in feats.items()}, N)
     cdtype = feats["fused"].dtype
     state0 = state0._replace(
         feats={k: v.astype(cdtype) for k, v in state0.feats.items()})

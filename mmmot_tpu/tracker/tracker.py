@@ -31,11 +31,18 @@ from mmmot_tpu.models.tracking_net import TrackingNet
 class TrackerState(NamedTuple):
     """Fixed-capacity track registry carried across frames.
 
-    feats:  per-branch prev-frame detection embeddings, dict of [N, D].
-    mask:   [N] bool — slots holding live detections from the prev frame.
-    ids:    [N] int32 — track ID per slot (-1 for empty slots).
-    ages:   [N] int32 — frames since the track was born.
+    feats:  per-branch prev-frame detection embeddings, dict of [M, D].
+    mask:   [M] bool — slots holding matchable tracks (live prev-frame
+            detections, plus ghosts when ``revival_window`` > 0).
+    ids:    [M] int32 — track ID per slot (-1 for empty slots).
+    ages:   [M] int32 — frames since the track was born.
     next_id:scalar int32 — next fresh track ID.
+    missed: [M] int32 — frames since the slot last matched (0 = live);
+            ``None`` when revival is off (keeps the legacy carry
+            structure — no recompiles for existing programs).
+
+    M equals the per-frame detection slot count N, except with revival
+    enabled, where M = 2N (N live + N ghost slots).
     """
 
     feats: Dict[str, jnp.ndarray]
@@ -43,10 +50,11 @@ class TrackerState(NamedTuple):
     ids: jnp.ndarray
     ages: jnp.ndarray
     next_id: jnp.ndarray
+    missed: Optional[jnp.ndarray] = None
 
 
 def init_state(feat_dims: Dict[str, int], num_slots: int,
-               dtype=jnp.float32) -> TrackerState:
+               dtype=jnp.float32, with_missed: bool = False) -> TrackerState:
     return TrackerState(
         feats={k: jnp.zeros((num_slots, d), dtype) for k, d in
                feat_dims.items()},
@@ -54,6 +62,8 @@ def init_state(feat_dims: Dict[str, int], num_slots: int,
         ids=jnp.full((num_slots,), -1, jnp.int32),
         ages=jnp.zeros((num_slots,), jnp.int32),
         next_id=jnp.int32(0),
+        missed=(jnp.zeros((num_slots,), jnp.int32) if with_missed
+                else None),
     )
 
 
@@ -118,10 +128,20 @@ class TrackingModule:
         # leave the carried state, which feeds the next pair's masks, so
         # the scan must stay fully sequential.  None = auto.
         if parallel_assoc is None:
-            parallel_assoc = not self.assoc_cfg.use_det_scores
+            parallel_assoc = (not self.assoc_cfg.use_det_scores
+                              and not self.assoc_cfg.revival_window)
         if parallel_assoc and self.assoc_cfg.use_det_scores:
             raise ValueError("parallel_assoc is unsound with "
                              "use_det_scores (decision-dependent state)")
+        # Track revival (ghost pool) makes the carried state CONTENT
+        # decision-dependent — which tracks survive as ghosts depends on
+        # the matches — so both batched pre-solves are unsound with it.
+        if self.assoc_cfg.revival_window:
+            if parallel_assoc:
+                raise ValueError("parallel_assoc is unsound with "
+                                 "revival_window (decision-dependent "
+                                 "ghost pool)")
+            hybrid_presolve = False
         self.parallel_assoc = parallel_assoc
         # Hybrid pre-solve for the y_det mode (sequence.py _hybrid_track):
         # batch the mask-independent correlation matmuls over all pairs,
@@ -132,6 +152,15 @@ class TrackingModule:
     def extract(self, crops, points, point_mask, det_mask):
         return self.net.apply(self.variables, crops, points, point_mask,
                               det_mask, train=False, method=self.net.extract)
+
+    def make_state0(self, feat_dims: Dict[str, int],
+                    num_dets: int) -> TrackerState:
+        """Zero TrackerState sized for this module's configuration:
+        ``num_dets`` slots, doubled to hold the ghost pool (and carrying
+        the ``missed`` counters) when ``revival_window`` > 0."""
+        if self.assoc_cfg.revival_window:
+            return init_state(feat_dims, 2 * num_dets, with_missed=True)
+        return init_state(feat_dims, num_dets)
 
     def init_state(self, num_slots: int,
                    dead_sensor: str | None = None) -> TrackerState:
@@ -146,7 +175,7 @@ class TrackingModule:
                 dims["image"] = c.appearance.out_dim
             if dead_sensor != "lidar":
                 dims["lidar"] = c.point.out_dim
-        return init_state(dims, num_slots)
+        return self.make_state0(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
         """Fused-kernel affinity (inference): correlation + link heads for
@@ -203,7 +232,22 @@ class TrackingModule:
     def step_from_feats(self, state: TrackerState,
                         feats: Dict[str, jnp.ndarray], det_mask
                         ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
-        """Associate pre-extracted current-frame features against the state."""
+        """Associate pre-extracted current-frame features against the state.
+
+        With ``revival_window`` K > 0 the state carries a ghost pool
+        (state slots M = 2N): unmatched tracks stay matchable for up to K
+        frames and a later detection matching a ghost REVIVES its ID.
+        Per-detection outputs (``ids``/``det_score``) are returned at the
+        input slot count N; ``decisions`` spans the padded M slots.
+        """
+        K = self.assoc_cfg.revival_window
+        n_in = det_mask.shape[-1]
+        if K:
+            pad = state.mask.shape[-1] - n_in
+            if pad:
+                feats = {k: jnp.pad(v, ((0, pad), (0, 0)))
+                         for k, v in feats.items()}
+                det_mask = jnp.pad(det_mask, (0, pad))
         aff = self.affinity(state.feats, feats, state.mask, det_mask)
         link = aff.link_norm
         raw = self.assoc_cfg.raw_new_end
@@ -235,18 +279,68 @@ class TrackingModule:
         matched_prev_age = jnp.where(
             dec.match_curr >= 0, state.ages[jnp.maximum(dec.match_curr, 0)],
             0)
-        new_state = TrackerState(
-            feats=feats,
-            mask=kept_mask,
-            ids=ids_curr,
-            ages=jnp.where(kept_mask, matched_prev_age + 1, 0).astype(
-                jnp.int32),
-            next_id=next_id,
-        )
+        ages_curr = jnp.where(kept_mask, matched_prev_age + 1, 0).astype(
+            jnp.int32)
+        if K:
+            new_state = self._revival_state(
+                state, feats, det_mask, kept_mask, ids_curr, ages_curr,
+                next_id, dec, n_in)
+        else:
+            new_state = TrackerState(
+                feats=feats,
+                mask=kept_mask,
+                ids=ids_curr,
+                ages=ages_curr,
+                next_id=next_id,
+                missed=state.missed,
+            )
         det_score = jax.nn.sigmoid(det_logit_curr)
-        out = {"ids": ids_curr, "decisions": dec, "det_score": det_score,
+        out = {"ids": ids_curr[..., :n_in], "decisions": dec,
+               "det_score": det_score[..., :n_in],
                "link": aff.link, "new": aff.new, "end": aff.end}
         return new_state, out
+
+    def _revival_state(self, state: TrackerState, feats, det_mask,
+                       kept_mask, ids_curr, ages_curr, next_id,
+                       dec: Decisions, n_in: int) -> TrackerState:
+        """Compose the next state with a ghost pool (revival_window K).
+
+        Slots 0..N-1 hold the current frame's detections; slots N..M-1
+        hold up to G = M - N ghosts: previously-matchable tracks that went
+        unmatched this frame and have missed <= K frames.  Freshest ghosts
+        (fewest missed) win the pool; ghosts keep their frozen features,
+        IDs and ages, so a later match inherits the original ID.
+        """
+        K = self.assoc_cfg.revival_window
+        M = state.mask.shape[-1]
+        G = M - n_in
+        missed = state.missed
+        matched_prev = dec.match_prev >= 0
+        # Candidate ghosts: matchable last step, unmatched now, still
+        # within the window after this miss.
+        survive = state.mask & ~matched_prev & (missed + 1 <= K)
+        # Freshest-first stable selection of up to G survivors (same
+        # top_k trick as ops/masking.compact_indices).
+        score = jnp.where(survive, K + 1 - missed, 0) * (M + 1) - \
+            jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+        _, gidx = jax.lax.top_k(score, G)
+        gtaken = survive[gidx]
+
+        def keep(curr, ghost_src):
+            return jnp.concatenate([curr[:n_in], ghost_src[gidx]], axis=0)
+
+        return TrackerState(
+            feats={k: keep(v, state.feats[k]) for k, v in feats.items()},
+            mask=jnp.concatenate([kept_mask[:n_in], gtaken]),
+            ids=jnp.concatenate(
+                [ids_curr[:n_in],
+                 jnp.where(gtaken, state.ids[gidx], -1).astype(jnp.int32)]),
+            ages=jnp.concatenate([ages_curr[:n_in], state.ages[gidx]]),
+            next_id=next_id,
+            missed=jnp.concatenate(
+                [jnp.zeros((n_in,), jnp.int32),
+                 jnp.where(gtaken, missed[gidx] + 1, 0).astype(jnp.int32)]),
+        )
 
     def predict(self, state: TrackerState, crops, points, point_mask,
                 det_mask) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:

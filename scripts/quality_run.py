@@ -262,6 +262,14 @@ def main():
         dataclasses.replace(cfg.assoc, use_det_scores=True,
                             det_score_weight=1.0, raw_new_end=True),
         **noise)
+    # Track revival: detector dropouts (drop_prob) are the dominant IDS
+    # source in this regime; a 2-frame ghost window revives IDs across
+    # them (capability beyond the reference's strictly-adjacent tracker).
+    rows["noisy_ydet_revival"] = evaluate(
+        net, variables, cfg,
+        dataclasses.replace(cfg.assoc, use_det_scores=True,
+                            det_score_weight=1.0, raw_new_end=True,
+                            revival_window=2), **noise)
 
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),

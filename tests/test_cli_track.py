@@ -363,3 +363,27 @@ def test_window_cache_keyed_on_config(kitti_tree, tmp_path):
     run(mod3, "c")
     assert len(kitti_runner._WINDOW_FNS) == n1 + 1, \
         "different-architecture module did not get its own program"
+
+
+def test_revival_window_streams_through_runner(kitti_tree, tmp_path):
+    """revival_window through the real windowed KITTI runner: the ghost
+    pool (2N-slot state incl. missed counters) carries across windows and
+    the pipeline still scores perfectly on oracle detections."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["assoc"] = {"solver": "auction", "revival_window": 2}
+    base["name"] = "tiny_kitti_revival"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "2",
+                  "--result-path", str(tmp_path / "results")])
+    assert stats["n_programs"] == 1 and stats["n_dropped"] == 0
+    # Oracle dets, contiguous tracks: revival must not change the perfect
+    # recall/precision outcome.
+    assert stats["metrics"].recall == 1.0

@@ -366,3 +366,57 @@ def test_hybrid_presolve_matches_sequential_ydet():
         ids = np.asarray(outs["sequential"]["ids"])
         assert ((ids < 0) & np.asarray(dm)).any(), \
             "no rejection happened; raise det_score_weight"
+
+
+def test_revival_window_recovers_id_after_gap():
+    """revival_window K: a detection dropout of <= K frames no longer
+    costs an ID switch — the track survives as a ghost and a later match
+    revives its ID.  K=0 (the reference-faithful default) starts a fresh
+    track; a gap longer than K expires the ghost."""
+    from mmmot_tpu.configs import tiny
+    import dataclasses
+
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 6, 4, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    # One persistent object in slot 0, visible frames 0,1 and 4,5
+    # (2-frame dropout at 2,3); identical signature before/after.
+    key = jax.random.PRNGKey(5)
+    sig_c = jax.random.normal(key, (32, 32, 3))
+    sig_p = jax.random.normal(key, (P, 4))
+    crops = jnp.tile(sig_c[None, None], (T, Ns, 1, 1, 1))
+    points = jnp.tile(sig_p[None, None], (T, Ns, 1, 1))
+    pm = jnp.ones((T, Ns, P), bool)
+    present = jnp.asarray([1, 1, 0, 0, 1, 1], bool)
+    dm = jnp.zeros((T, Ns), bool).at[:, 0].set(present)
+
+    def run(k):
+        acfg = AssocConfig(solver="auction", revival_window=k)
+        m = TrackingModule(net, vars_, acfg)
+        return np.asarray(jax.jit(
+            lambda c, p, q, d: track_sequence(m, c, p, q, d))(
+            crops, points, pm, dm)["ids"])
+
+    ids0 = run(0)
+    assert ids0[1, 0] != ids0[4, 0], "K=0 must start a fresh track"
+
+    ids2 = run(2)
+    assert ids2[1, 0] == ids2[4, 0], \
+        "K=2 must revive the ID across a 2-frame gap"
+    assert ids2[4, 0] == ids2[5, 0]
+
+    ids1 = run(1)           # gap (2 frames) exceeds K=1 -> fresh track
+    assert ids1[1, 0] != ids1[4, 0], "expired ghost must not revive"
+
+    # Outputs stay [T, N]; padded slots -1 throughout.
+    assert ids2.shape == (T, Ns) and (ids2[:, 1:] == -1).all()
