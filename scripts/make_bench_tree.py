@@ -10,91 +10,193 @@ is learnable end-to-end, not just benchmarkable.  Usage:
     python scripts/make_bench_tree.py [root]
 
 then point a config's data.root at it and run the track/train CLIs (see
-docs/PERFORMANCE.md).  Oracle mode: GT doubles as detections.
+docs/PERFORMANCE.md and docs/KITTI.md).
+
+Detection sources written:
+
+* (none) — oracle mode: `label_02` GT doubles as detections;
+* ``detections/noisy/<seq>.txt`` — a realistic DETECTOR simulation over
+  the same GT (the non-saturated quality regime, VERDICT r2 missing #5):
+  box jitter proportional to size, per-track dropout BURSTS (1-3 frames —
+  the regime where `assoc.revival_window` earns its keep) plus i.i.d.
+  misses, and false positives (some on background, some overlapping real
+  tracks) with a score distribution that OVERLAPS the true-positive one,
+  so post-hoc thresholding has a real operating-point trade-off.
 """
 import os
 import sys
+from collections import defaultdict
 
 import numpy as np
-from PIL import Image
 
 from mmmot_tpu.data.kitti_io import KittiObject, write_kitti_result
 
-root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kitti_bench"
+H, W = 384, 1248
 P2 = np.array([[720.0, 0.0, 624.0, 0.0], [0.0, 720.0, 192.0, 0.0],
                [0.0, 0.0, 1.0, 0.0]])
-rng = np.random.default_rng(7)
-H, W = 384, 1248
-for si in range(4):
-    seq = f"{si:04d}"
-    T = 200
-    for sub in (f"image_02/{seq}", f"velodyne/{seq}"):
-        os.makedirs(os.path.join(root, sub), exist_ok=True)
-    os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
-    os.makedirs(os.path.join(root, "calib"), exist_ok=True)
-    # tracks: 16 cars moving linearly; ~12 visible per frame
-    n_tracks = 16
-    x0 = rng.uniform(50, W - 200, n_tracks)
-    y0 = rng.uniform(120, 260, n_tracks)
-    vx = rng.uniform(-2.5, 2.5, n_tracks)
-    bw = rng.uniform(60, 180, n_tracks)
-    bh = rng.uniform(40, 80, n_tracks)
-    color = rng.integers(40, 255, (n_tracks, 3))
-    stripe = rng.integers(6, 24, n_tracks)          # texture frequency
-    depth = rng.uniform(8, 60, n_tracks)            # LiDAR cluster depth (x fwd)
-    # Contiguous visibility spans (enter/exit, no blinking): association
-    # is strictly adjacent-frame (like the reference tracker), so any
-    # within-track gap necessarily costs an ID switch at reappearance —
-    # periodic gaps capped MOTA at ~68% regardless of model quality.
-    t_in = rng.integers(0, T // 4, n_tracks)
-    t_out = rng.integers(3 * T // 4, T + 1, n_tracks)
-    objs = []
-    for t in range(T):
-        img = rng.integers(0, 60, (H, W, 3)).astype(np.uint8)  # dim noise bg
-        # background points + per-track clusters
-        pc_parts = [np.concatenate([
-            rng.uniform(3, 70, (12000, 1)).astype(np.float32),
-            rng.uniform(-30, 30, (12000, 1)).astype(np.float32),
-            rng.uniform(-2, 2, (12000, 1)).astype(np.float32),
-            rng.uniform(0, 1, (12000, 1)).astype(np.float32)], axis=1)]
-        for k in range(n_tracks):
-            cx = x0[k] + vx[k] * t
-            if not (30 < cx < W - 30) or not (t_in[k] <= t < t_out[k]):
+
+
+def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
+                jitter=0.02, fp_rate=1.2):
+    """Simulate a detector over per-sequence GT ``objs`` (see module doc)."""
+    by_track = defaultdict(list)
+    for o in objs:
+        by_track[o.track_id].append(o)
+    by_frame = defaultdict(list)
+    for o in objs:
+        by_frame[o.frame].append(o)
+
+    dets = []
+    for k in sorted(by_track):
+        tobjs = sorted(by_track[k], key=lambda o: o.frame)
+        frames = [o.frame for o in tobjs]
+        drop = set()
+        for _ in range(rng.poisson(burst_rate)):
+            f0 = int(rng.choice(frames))
+            drop.update(range(f0, f0 + int(rng.integers(1, 4))))
+        for o in tobjs:
+            if o.frame in drop or rng.random() < iid_miss:
                 continue
-            l, tp = cx - bw[k] / 2, y0[k] - bh[k] / 2
-            li, ti = int(max(0, l)), int(max(0, tp))
-            ri, bi = int(min(W, l + bw[k])), int(min(H, tp + bh[k]))
-            # Per-track appearance: solid color + horizontal stripes.
-            patch = np.tile(color[k][None, None, :], (bi - ti, ri - li, 1))
-            rows = (np.arange(ti, bi) // stripe[k]) % 2 == 0
-            patch[rows] = 255 - patch[rows]
-            img[ti:bi, li:ri] = patch
-            # LiDAR cluster inside the frustum at the track's depth:
-            # velodyne x fwd, y left, z up; u = 624 - 720*y/x.
-            d = depth[k]
-            u = rng.uniform(l + 2, l + bw[k] - 2, 400)
-            v = rng.uniform(tp + 2, tp + bh[k] - 2, 400)
-            y_v = (624.0 - u) * d / 720.0
-            z_v = (192.0 - v) * d / 720.0
-            pc_parts.append(np.stack(
-                [np.full(400, d, np.float32), y_v.astype(np.float32),
-                 z_v.astype(np.float32),
-                 np.full(400, (k + 1) / n_tracks, np.float32)], axis=1))
-            objs.append(KittiObject(
-                frame=t, track_id=k, obj_type="Car",
-                bbox=np.array([l, tp, l + bw[k], tp + bh[k]]),
+            l, t, r, b = [float(x) for x in o.bbox]
+            w, h = r - l, b - t
+            jl, jr = rng.normal(0, jitter * w, 2)
+            jt, jb = rng.normal(0, jitter * h, 2)
+            box = np.array([
+                np.clip(l + jl, 0, W - 8), np.clip(t + jt, 0, H - 8),
+                np.clip(r + jr, 8, W), np.clip(b + jb, 8, H)])
+            if box[2] - box[0] < 8 or box[3] - box[1] < 8:
+                continue
+            jnorm = (abs(jl) + abs(jr)) / w + (abs(jt) + abs(jb)) / h
+            score = float(np.clip(rng.normal(0.88, 0.06) - 0.5 * jnorm,
+                                  0.05, 1.0))
+            dets.append(KittiObject(
+                frame=o.frame, track_id=0, obj_type="Car", bbox=box,
+                dimensions=o.dimensions, location=o.location,
+                rotation_y=o.rotation_y, score=score))
+    for t in range(T):
+        for _ in range(rng.poisson(fp_rate)):
+            w = rng.uniform(40, 160)
+            h = rng.uniform(30, 80)
+            anchors = by_frame.get(t, [])
+            if anchors and rng.random() < 0.3:
+                # Overlapping-FP: offset ~half a box from a real track, so
+                # its crop is partially textured (the hard negatives).
+                a = anchors[int(rng.integers(len(anchors)))]
+                al, at, ar, ab = [float(x) for x in a.bbox]
+                cx = (al + ar) / 2 + rng.choice([-1, 1]) * (ar - al) * 0.6
+                cy = (at + ab) / 2 + rng.normal(0, (ab - at) * 0.2)
+            else:
+                cx = rng.uniform(30, W - 30)
+                cy = rng.uniform(100, 300)
+            box = np.array([
+                np.clip(cx - w / 2, 0, W - 8), np.clip(cy - h / 2, 0, H - 8),
+                np.clip(cx + w / 2, 8, W), np.clip(cy + h / 2, 8, H)])
+            if box[2] - box[0] < 8 or box[3] - box[1] < 8:
+                continue
+            score = float(np.clip(rng.normal(0.45, 0.15), 0.05, 1.0))
+            dets.append(KittiObject(
+                frame=t, track_id=0, obj_type="Car", bbox=box,
                 dimensions=np.array([1.6, 1.8, 4.2]),
                 location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
-                rotation_y=0.0))
-        pc = np.concatenate(pc_parts).astype(np.float32)
-        rng.shuffle(pc)         # interleave clusters in scan order
-        Image.fromarray(img).save(
-            os.path.join(root, f"image_02/{seq}/{t:06d}.png"))
-        pc.tofile(os.path.join(root, f"velodyne/{seq}/{t:06d}.bin"))
-    write_kitti_result(objs, os.path.join(root, "label_02", f"{seq}.txt"))
-    with open(os.path.join(root, "calib", f"{seq}.txt"), "w") as f:
-        f.write("P2: " + " ".join(str(x) for x in P2.ravel()) + "\n")
-        f.write("R_rect " + " ".join(str(x) for x in np.eye(3).ravel()) + "\n")
-        f.write("Tr_velo_cam " + " ".join(str(x) for x in np.array(
-            [[0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]]).ravel()) + "\n")
-print("tree at", root)
+                rotation_y=0.0, score=score))
+    dets.sort(key=lambda o: o.frame)
+    for i, o in enumerate(dets):
+        o.track_id = i
+    return dets
+
+
+def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for si in range(n_seqs):
+        seq = f"{si:04d}"
+        for sub in (f"image_02/{seq}", f"velodyne/{seq}"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
+        os.makedirs(os.path.join(root, "calib"), exist_ok=True)
+        # tracks: 16 cars moving linearly; ~12 visible per frame
+        n_tracks = 16
+        x0 = rng.uniform(50, W - 200, n_tracks)
+        y0 = rng.uniform(120, 260, n_tracks)
+        vx = rng.uniform(-2.5, 2.5, n_tracks)
+        bw = rng.uniform(60, 180, n_tracks)
+        bh = rng.uniform(40, 80, n_tracks)
+        color = rng.integers(40, 255, (n_tracks, 3))
+        stripe = rng.integers(6, 24, n_tracks)      # texture frequency
+        depth = rng.uniform(8, 60, n_tracks)        # LiDAR cluster depth
+        # Contiguous visibility spans (enter/exit, no blinking): association
+        # is strictly adjacent-frame by default (like the reference), so any
+        # within-track gap necessarily costs an ID switch at reappearance —
+        # periodic gaps capped MOTA at ~68% regardless of model quality.
+        # (The NOISY detection source reintroduces gaps as detector bursts;
+        # that regime is scored against this full GT, and revival_window
+        # addresses it.)
+        t_in = rng.integers(0, T // 4, n_tracks)
+        t_out = rng.integers(3 * T // 4, T + 1, n_tracks)
+        objs = []
+        for t in range(T):
+            img = rng.integers(0, 60, (H, W, 3)).astype(np.uint8)
+            pc_parts = [np.concatenate([
+                rng.uniform(3, 70, (12000, 1)).astype(np.float32),
+                rng.uniform(-30, 30, (12000, 1)).astype(np.float32),
+                rng.uniform(-2, 2, (12000, 1)).astype(np.float32),
+                rng.uniform(0, 1, (12000, 1)).astype(np.float32)], axis=1)]
+            for k in range(n_tracks):
+                cx = x0[k] + vx[k] * t
+                if not (30 < cx < W - 30) or not (t_in[k] <= t < t_out[k]):
+                    continue
+                l, tp = cx - bw[k] / 2, y0[k] - bh[k] / 2
+                li, ti = int(max(0, l)), int(max(0, tp))
+                ri, bi = int(min(W, l + bw[k])), int(min(H, tp + bh[k]))
+                # Per-track appearance: solid color + horizontal stripes.
+                patch = np.tile(color[k][None, None, :],
+                                (bi - ti, ri - li, 1))
+                rows = (np.arange(ti, bi) // stripe[k]) % 2 == 0
+                patch[rows] = 255 - patch[rows]
+                img[ti:bi, li:ri] = patch
+                # LiDAR cluster inside the frustum at the track's depth:
+                # velodyne x fwd, y left, z up; u = 624 - 720*y/x.
+                d = depth[k]
+                u = rng.uniform(l + 2, l + bw[k] - 2, 400)
+                v = rng.uniform(tp + 2, tp + bh[k] - 2, 400)
+                y_v = (624.0 - u) * d / 720.0
+                z_v = (192.0 - v) * d / 720.0
+                pc_parts.append(np.stack(
+                    [np.full(400, d, np.float32), y_v.astype(np.float32),
+                     z_v.astype(np.float32),
+                     np.full(400, (k + 1) / n_tracks, np.float32)], axis=1))
+                objs.append(KittiObject(
+                    frame=t, track_id=k, obj_type="Car",
+                    bbox=np.array([l, tp, l + bw[k], tp + bh[k]]),
+                    dimensions=np.array([1.6, 1.8, 4.2]),
+                    location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
+                    rotation_y=0.0))
+            pc = np.concatenate(pc_parts).astype(np.float32)
+            rng.shuffle(pc)     # interleave clusters in scan order
+            Image.fromarray(img).save(
+                os.path.join(root, f"image_02/{seq}/{t:06d}.png"))
+            pc.tofile(os.path.join(root, f"velodyne/{seq}/{t:06d}.bin"))
+        write_kitti_result(objs, os.path.join(root, "label_02",
+                                              f"{seq}.txt"))
+        if noisy:
+            os.makedirs(os.path.join(root, "detections", "noisy"),
+                        exist_ok=True)
+            dets = _noisy_dets(objs, T, np.random.default_rng(seed + 100
+                                                              + si))
+            write_kitti_result(dets, os.path.join(
+                root, "detections", "noisy", f"{seq}.txt"))
+        with open(os.path.join(root, "calib", f"{seq}.txt"), "w") as f:
+            f.write("P2: " + " ".join(str(x) for x in P2.ravel()) + "\n")
+            f.write("R_rect " + " ".join(str(x) for x in np.eye(3).ravel())
+                    + "\n")
+            f.write("Tr_velo_cam " + " ".join(str(x) for x in np.array(
+                [[0.0, -1, 0, 0], [0, 0, -1, 0],
+                 [1, 0, 0, 0]]).ravel()) + "\n")
+    print("tree at", root)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    build_tree(sys.argv[1] if len(sys.argv) > 1 else "/tmp/kitti_bench")

@@ -1,0 +1,186 @@
+"""REAL-data-path quality regression with a NOISY detector.
+
+The oracle-detection real-tree run (results/real_tree_quality.json) proves
+the streaming pipeline but saturates (MOTA 1.0, R/P 1.0).  This script
+exercises the same REAL path — PNG decode -> host cloud prefilter ->
+on-device MXU crop resize + frustum top_k -> compact-first bf16 extraction
+-> per-branch affinity -> in-graph LP -> windowed streaming -> KITTI txt ->
+devkit — under a simulated detector (scripts/make_bench_tree.py writes
+``detections/noisy/``: box jitter, per-track dropout BURSTS + i.i.d.
+misses, background AND track-overlapping false positives with a score
+distribution overlapping the true positives), scored against the full GT,
+and compares the FP policies end-to-end:
+
+* none            — every detection tracked;
+* post-hoc        — learned det-head score threshold (sweep, best row kept);
+* y_det LP        — the reference ILP's detection-confidence variables
+                    (``assoc.use_det_scores`` + raw new/end LP scores);
+* y_det + revival — LP rejection plus ``revival_window=2`` ghost slots
+                    (detector dropout bursts stop costing an ID switch).
+
+One command regenerates the ``noisy_detector`` section of
+results/real_tree_quality.json:
+
+    python scripts/real_quality_run.py [--root /tmp/kitti_rq]
+        [--epochs 12] [--steps-per-epoch 60]
+    python scripts/real_quality_run.py --tiny --cpu   # smoke (CI scale)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--root", default="/tmp/kitti_rq")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--steps-per-epoch", type=int, default=60)
+    ap.add_argument("--seqs", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--out", default="results/real_tree_quality.json")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model scale (smoke/CI; full flagship scale "
+                         "otherwise)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        from mmmot_tpu.utils.jax_setup import force_cpu
+
+        force_cpu()
+
+    import dataclasses
+    import time
+
+    import jax
+    import numpy as np
+
+    from mmmot_tpu.configs import flagship, tiny
+    from mmmot_tpu.data.augment import augment_batch
+    from mmmot_tpu.data.kitti_loader import KittiPairLoader
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
+    from mmmot_tpu.train import create_train_state, train_step
+    from mmmot_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    if not os.path.isdir(os.path.join(args.root, "detections", "noisy")):
+        print(f"building tree at {args.root} "
+              f"({args.seqs}x{args.frames} frames) ...", flush=True)
+        from scripts.make_bench_tree import build_tree
+
+        build_tree(args.root, n_seqs=args.seqs, T=args.frames)
+
+    cfg = tiny(crop=64, max_dets=24, point_len=64) if args.tiny \
+        else flagship()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, root=args.root,
+                                 det_source="noisy"),
+        train=dataclasses.replace(
+            cfg.train, epochs=args.epochs, batch_size=4,
+            lr=3e-4, lr_schedule="cosine", warmup_steps=100,
+            compact_capacity=0 if args.tiny else 128))
+    net = model_entry(cfg.model)
+    key = jax.random.PRNGKey(0)
+
+    seq_names = [f"{i:04d}" for i in range(args.seqs)]
+    train_seqs, val_seq = seq_names[:-1], seq_names[-1]
+    loader = KittiPairLoader(cfg.data, seed=0, sequences=tuple(train_seqs))
+    batch_iter = loader.batches(cfg.train.batch_size)
+
+    batch0 = next(batch_iter)
+    state = create_train_state(net, cfg.train, key, batch0,
+                               steps_per_epoch=args.steps_per_epoch)
+
+    def _step(s, b, r):
+        ra, rd = jax.random.split(r)
+        b = augment_batch(ra, b)
+        return train_step(net, s, b, rd,
+                          loss_weights=cfg.train.loss_weights,
+                          compact_capacity=cfg.train.compact_capacity)
+
+    step_fn = jax.jit(_step)
+    t0 = time.time()
+    for epoch in range(cfg.train.epochs):
+        te = time.time()
+        losses = []
+        for _ in range(args.steps_per_epoch):
+            state, metrics = step_fn(
+                state, next(batch_iter),
+                jax.random.fold_in(key, int(state.step)))
+            losses.append(float(metrics["total"]))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+              f"({time.time() - te:.1f}s)", flush=True)
+    train_time = time.time() - t0
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def run(tag, assoc, score_threshold=0.0, det_source="noisy"):
+        module = TrackingModule(net, variables, assoc)
+        data_cfg = dataclasses.replace(cfg.data, det_source=det_source)
+        stats = track_kitti_sequences(
+            module, data_cfg, os.path.join("results", "real_noisy", tag),
+            sequences=[val_seq], window=64,
+            score_threshold=score_threshold, evaluate=True)
+        m = stats["metrics"]
+        row = {"mota": round(float(m.mota), 4),
+               "motp": round(float(m.motp), 4),
+               "ids": int(m.id_switches), "frag": int(m.fragments),
+               "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
+               "recall": round(float(m.recall), 4),
+               "precision": round(float(m.precision), 4)}
+        print(f"{tag:28s} {row}", flush=True)
+        return row
+
+    rows = {}
+    # Ceiling: oracle detections (no detections/<source> dir -> GT boxes).
+    rows["oracle_ceiling"] = run("oracle", cfg.assoc, det_source="oracle")
+    rows["nofilter"] = run("nofilter", cfg.assoc)
+    best_thr, best = None, None
+    for thr in (0.3, 0.45, 0.6):
+        r = run(f"threshold_{thr}", cfg.assoc, score_threshold=thr)
+        if best is None or r["mota"] > best["mota"]:
+            best_thr, best = thr, r
+    rows["threshold_best"] = dict(best, threshold=best_thr)
+    ydet = dataclasses.replace(cfg.assoc, use_det_scores=True,
+                               raw_new_end=True)
+    rows["ydet"] = run("ydet", ydet)
+    rows["ydet_revival"] = run(
+        "ydet_revival", dataclasses.replace(ydet, revival_window=2))
+
+    section = {
+        "what": "Same REAL streaming path as the oracle run, under a "
+                "simulated detector (detections/noisy: jitter, dropout "
+                "bursts + iid misses, background and track-overlapping "
+                "FPs with overlapping score distributions), trained on "
+                "the noisy detections (FP-aware loss) and scored against "
+                "full GT on the held-out sequence.",
+        "command": f"python scripts/real_quality_run.py --epochs "
+                   f"{args.epochs} --steps-per-epoch {args.steps_per_epoch}",
+        "tiny": args.tiny,
+        "train_seconds": round(train_time, 1),
+        "epochs": cfg.train.epochs,
+        "val_sequence": val_seq,
+        "rows": rows,
+    }
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            doc = json.load(fh)
+    doc["noisy_detector"] = section
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    print(f"wrote {args.out} [noisy_detector]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
