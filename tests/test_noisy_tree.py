@@ -1,0 +1,116 @@
+"""Noisy-detector tree generator + FP-policy tracking smoke.
+
+``scripts/make_bench_tree.py`` fabricates a full-resolution KITTI tree with
+GT labels plus ``detections/noisy`` — box jitter, per-track dropout bursts,
+i.i.d. misses, and background/track-overlapping false positives whose score
+distribution overlaps the true positives.  This file locks the generator's
+statistical contract (the noisy quality regression in
+``scripts/real_quality_run.py`` depends on it discriminating FP policies)
+and drives the y_det + revival tracker over the tree end-to-end on CPU.
+
+Reference anchor: SURVEY.md §2.3 (y_det detection-confidence variables),
+§6 (MOTA parity needs a non-saturated regime — VERDICT r2 missing #5).
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from scripts.make_bench_tree import build_tree  # noqa: E402
+
+from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels  # noqa: E402
+
+
+def _iou(a, b):
+    lx = max(a[0], b[0])
+    ly = max(a[1], b[1])
+    rx = min(a[2], b[2])
+    ry = min(a[3], b[3])
+    inter = max(0.0, rx - lx) * max(0.0, ry - ly)
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("noisy") / "kitti")
+    build_tree(root, n_seqs=1, T=24, seed=3)
+    return root
+
+
+def test_noisy_detector_statistics(tree):
+    gt = read_kitti_tracking_labels(
+        os.path.join(tree, "label_02", "0000.txt"))
+    det = read_kitti_tracking_labels(
+        os.path.join(tree, "detections", "noisy", "0000.txt"))
+    n_gt = sum(len(v) for v in gt.values())
+    assert n_gt > 0 and det, "generator produced an empty tree"
+
+    tp_scores, fp_scores, matched = [], [], 0
+    for fid, objs in det.items():
+        for o in objs:
+            assert o.score is not None and 0.0 <= o.score <= 1.0
+            best = max((_iou(o.bbox, g.bbox) for g in gt.get(fid, [])),
+                       default=0.0)
+            if best >= 0.5:
+                matched += 1
+                tp_scores.append(o.score)
+            elif best < 0.3:
+                fp_scores.append(o.score)
+
+    # False negatives: dropout bursts + iid misses leave GT uncovered.
+    assert matched < n_gt, "no FN — the dropout model is dead"
+    # False positives with the designed overlapping score distribution.
+    assert len(fp_scores) >= 3, "no FP — the clutter model is dead"
+    assert np.mean(tp_scores) > np.mean(fp_scores), \
+        "scores carry no signal — thresholding could never work"
+    assert min(tp_scores) < max(fp_scores), \
+        "score distributions separable — thresholding would be perfect " \
+        "and y_det could never beat it"
+
+
+def test_noisy_tree_tracking_fp_policies(tree):
+    import jax
+
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.data.kitti_loader import KittiPairLoader
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
+
+    cfg = tiny(crop=32, max_dets=16, point_len=32)
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, root=tree, det_source="noisy"))
+    net = model_entry(cfg.model)
+    loader = KittiPairLoader(cfg.data, seed=0, sequences=("0000",))
+    b0 = next(loader.batches(2))
+    variables = jax.jit(
+        lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), b0)
+
+    assoc = dataclasses.replace(cfg.assoc, use_det_scores=True,
+                                raw_new_end=True, revival_window=2)
+    module = TrackingModule(net, variables, assoc)
+    out = os.path.join(tree, "..", "out_ydet")
+    stats = track_kitti_sequences(module, cfg.data, out,
+                                  sequences=["0000"], window=8,
+                                  evaluate=True)
+    m = stats["metrics"]
+    assert np.isfinite(float(m.mota)) and np.isfinite(float(m.motp))
+    rows = open(os.path.join(out, "0000.txt")).readlines()
+    assert rows, "tracker emitted no result rows on the noisy tree"
+
+    # Post-hoc threshold path: a near-1 threshold must strictly shrink the
+    # emitted rows (FP scores cap well below 1).
+    out_thr = os.path.join(tree, "..", "out_thr")
+    track_kitti_sequences(module, cfg.data, out_thr, sequences=["0000"],
+                          window=8, score_threshold=0.97, evaluate=False)
+    rows_thr = open(os.path.join(out_thr, "0000.txt")).readlines()
+    assert len(rows_thr) < len(rows)
