@@ -86,7 +86,8 @@ def remaining() -> float:
 def main():
     hb("start", f"pid={os.getpid()} deadline={DEADLINE:.0f}s "
                 f"det_mode={DET_MODE}")
-    if os.environ.get("MMMOT_BENCH_CPU"):   # debug/smoke runs off-TPU
+    if os.environ.get("MMMOT_BENCH_CPU", "") not in ("", "0"):
+        # debug/smoke runs off-TPU
         from mmmot_tpu.utils.jax_setup import force_cpu
 
         force_cpu()

@@ -69,6 +69,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                           sequences: Optional[Sequence[str]] = None,
                           window: int = 64, chunk: int = 256,
                           score_threshold: float = 0.0,
+                          score_sweep: Optional[Sequence[float]] = None,
                           evaluate: bool = True,
                           max_frames: Optional[int] = None,
                           batch_sequences: int = 1,
@@ -78,6 +79,12 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     Returns a stats dict: n_programs, n_dropped, total_frames, fps, and
     (when ``evaluate``) ``metrics`` (TrackingMetrics) + ``per_sequence``.
+
+    ``score_sweep`` evaluates extra det-head score thresholds from the SAME
+    tracked output (the threshold is purely an output filter on the model's
+    det scores, so one tracking pass serves every sweep point): each value
+    writes result txts under ``res_dir/thr_<t>/`` and lands its metrics in
+    ``stats["sweep"][t]``.
     """
     import jax
     import jax.numpy as jnp
@@ -119,7 +126,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # nets are interchangeable templates (variables are an argument).
         key = (module.net.cfg, module.assoc_cfg, crop, P, chunk,
                data_cfg.point_source, module.use_pallas_affinity,
-               module.parallel_assoc, module.hybrid_presolve, S_b, W,
+               module.pallas_interpret, module.parallel_assoc,
+               module.hybrid_presolve, S_b, W,
                capacity, crop_window, dead_sensor)
         local_keys.add(key)
         fresh = key not in _WINDOW_FNS
@@ -335,6 +343,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     cls = data_cfg.track_class.lower()
     ev = TrackingEvaluation(cls=cls)
+    sweep = tuple(score_sweep or ())
+    sweep_evs = {thr: TrackingEvaluation(cls=cls) for thr in sweep}
     per_seq = {}
     total_frames, t_total = 0, 0.0
     S_b = max(1, batch_sequences)
@@ -375,25 +385,39 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 write_kitti_result(objs, path)
                 if log:
                     log.info("sequence %s: %d frames -> %s", seq, T, path)
-                if evaluate:
-                    gt_path = os.path.join(data_cfg.root, "label_02",
-                                           f"{seq}.txt")
-                    if os.path.exists(gt_path):
-                        gt = read_kitti_tracking_labels(gt_path)
-                        trk = read_kitti_tracking_labels(path)
-                        # Score exactly the tracked range: with max_frames the
-                        # GT beyond the last tracked frame would otherwise
-                        # count as pure FN and corrupt validation MOTA.  The
-                        # bound comes from the true KITTI frame numbers, not
-                        # the loaded count — a tree with frame-file gaps has
-                        # frame_ids[-1] + 1 > T and result rows beyond T
-                        # would silently drop from scoring (ADVICE r2).
-                        nf = (int(arrs.frame_ids[-1]) + 1
-                              if len(arrs.frame_ids) else T)
-                        ev.add_sequence(gt, trk, num_frames=nf)
-                        one = TrackingEvaluation(cls=cls)
-                        one.add_sequence(gt, trk, num_frames=nf)
-                        per_seq[seq] = one.compute()
+                gt_path = os.path.join(data_cfg.root, "label_02",
+                                       f"{seq}.txt")
+                gt = (read_kitti_tracking_labels(gt_path)
+                      if evaluate and os.path.exists(gt_path) else None)
+                nf_sweep = (int(arrs.frame_ids[-1]) + 1
+                            if len(arrs.frame_ids) else T)
+                for thr in sweep:
+                    tdir = os.path.join(res_dir, f"thr_{thr:g}")
+                    os.makedirs(tdir, exist_ok=True)
+                    tpath = os.path.join(tdir, f"{seq}.txt")
+                    write_kitti_result(tracker_output_to_objects(
+                        ids[:T], keep & (det_score[:T] >= thr), arrs.boxes,
+                        scores=arrs.scores, boxes3d=arrs.boxes3d,
+                        obj_type=data_cfg.track_class,
+                        frame_ids=arrs.frame_ids, has_3d=arrs.has_3d),
+                        tpath)
+                    if gt is not None:
+                        sweep_evs[thr].add_sequence(
+                            gt, read_kitti_tracking_labels(tpath),
+                            num_frames=nf_sweep)
+                if gt is not None:
+                    trk = read_kitti_tracking_labels(path)
+                    # Score exactly the tracked range: with max_frames the
+                    # GT beyond the last tracked frame would otherwise
+                    # count as pure FN and corrupt validation MOTA.  The
+                    # bound comes from the true KITTI frame numbers, not
+                    # the loaded count — a tree with frame-file gaps has
+                    # frame_ids[-1] + 1 > T and result rows beyond T
+                    # would silently drop from scoring (ADVICE r2).
+                    ev.add_sequence(gt, trk, num_frames=nf_sweep)
+                    one = TrackingEvaluation(cls=cls)
+                    one.add_sequence(gt, trk, num_frames=nf_sweep)
+                    per_seq[seq] = one.compute()
 
     finally:
         loader.shutdown(wait=False, cancel_futures=True)
@@ -408,6 +432,9 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         m = ev.compute()
         stats["metrics"] = m
         stats["per_sequence"] = per_seq
+        if sweep:
+            stats["sweep"] = {thr: e.compute()
+                              for thr, e in sweep_evs.items()}
         with open(os.path.join(res_dir, f"summary_{cls}.txt"), "w") as fh:
             fh.write(m.summary_text())
         if log:

@@ -247,9 +247,10 @@ def main():
     # new/end scores in the LP.  Too small and the trained new-head (which
     # scores FPs "new" — they ARE new under the training labels) vetoes
     # every rejection; too large and the LP degenerates to hard
-    # thresholding.  3.0 lets association evidence save linked ambiguous
+    # thresholding.  0.5 lets association evidence save linked ambiguous
     # detections while unlinked low-scores still reject — the point of
-    # carrying y_det INSIDE the LP.
+    # carrying y_det INSIDE the LP (the raw-logit variant below carries
+    # full weight 1.0 because raw new/end logits are on the same scale).
     rows["noisy_ydet"] = evaluate(
         net, variables, cfg,
         dataclasses.replace(cfg.assoc, use_det_scores=True,

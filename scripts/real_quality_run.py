@@ -123,38 +123,48 @@ def main():
     train_time = time.time() - t0
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def run(tag, assoc, score_threshold=0.0, det_source="noisy"):
+    def _row(m):
+        return {"mota": round(float(m.mota), 4),
+                "motp": round(float(m.motp), 4),
+                "ids": int(m.id_switches), "frag": int(m.fragments),
+                "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
+                "recall": round(float(m.recall), 4),
+                "precision": round(float(m.precision), 4)}
+
+    def run(tag, assoc, det_source="noisy", score_sweep=None):
         module = TrackingModule(net, variables, assoc)
         data_cfg = dataclasses.replace(cfg.data, det_source=det_source)
         stats = track_kitti_sequences(
             module, data_cfg, os.path.join("results", "real_noisy", tag),
             sequences=[val_seq], window=64,
-            score_threshold=score_threshold, evaluate=True)
-        m = stats["metrics"]
-        row = {"mota": round(float(m.mota), 4),
-               "motp": round(float(m.motp), 4),
-               "ids": int(m.id_switches), "frag": int(m.fragments),
-               "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
-               "recall": round(float(m.recall), 4),
-               "precision": round(float(m.precision), 4)}
+            score_sweep=score_sweep, evaluate=True)
+        row = _row(stats["metrics"])
         print(f"{tag:28s} {row}", flush=True)
-        return row
+        return row, stats
 
     rows = {}
     # Ceiling: oracle detections (no detections/<source> dir -> GT boxes).
-    rows["oracle_ceiling"] = run("oracle", cfg.assoc, det_source="oracle")
-    rows["nofilter"] = run("nofilter", cfg.assoc)
+    rows["oracle_ceiling"] = run("oracle", cfg.assoc,
+                                 det_source="oracle")[0]
+    # One tracking pass serves the no-filter row AND the whole post-hoc
+    # threshold sweep: the det-head threshold is purely an output filter,
+    # so re-running the pipeline per sweep point would triple the most
+    # expensive stage for bit-identical rows.
+    thresholds = (0.3, 0.45, 0.6)
+    rows["nofilter"], nf_stats = run("nofilter", cfg.assoc,
+                                     score_sweep=thresholds)
     best_thr, best = None, None
-    for thr in (0.3, 0.45, 0.6):
-        r = run(f"threshold_{thr}", cfg.assoc, score_threshold=thr)
+    for thr in thresholds:
+        r = _row(nf_stats["sweep"][thr])
+        print(f"{f'threshold_{thr}':28s} {r}", flush=True)
         if best is None or r["mota"] > best["mota"]:
             best_thr, best = thr, r
     rows["threshold_best"] = dict(best, threshold=best_thr)
     ydet = dataclasses.replace(cfg.assoc, use_det_scores=True,
                                raw_new_end=True)
-    rows["ydet"] = run("ydet", ydet)
+    rows["ydet"] = run("ydet", ydet)[0]
     rows["ydet_revival"] = run(
-        "ydet_revival", dataclasses.replace(ydet, revival_window=2))
+        "ydet_revival", dataclasses.replace(ydet, revival_window=2))[0]
 
     section = {
         "what": "Same REAL streaming path as the oracle run, under a "

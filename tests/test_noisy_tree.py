@@ -101,16 +101,24 @@ def test_noisy_tree_tracking_fp_policies(tree):
     out = os.path.join(tree, "..", "out_ydet")
     stats = track_kitti_sequences(module, cfg.data, out,
                                   sequences=["0000"], window=8,
-                                  evaluate=True)
+                                  score_sweep=(0.97,), evaluate=True)
     m = stats["metrics"]
     assert np.isfinite(float(m.mota)) and np.isfinite(float(m.motp))
     rows = open(os.path.join(out, "0000.txt")).readlines()
     assert rows, "tracker emitted no result rows on the noisy tree"
 
-    # Post-hoc threshold path: a near-1 threshold must strictly shrink the
-    # emitted rows (FP scores cap well below 1).
+    # Post-hoc threshold via score_sweep (one tracking pass): a near-1
+    # threshold must strictly shrink the emitted rows (FP det-head scores
+    # cap well below 1) and its metrics must be IDENTICAL to a separate
+    # run with score_threshold set — the sweep is the same output filter.
+    rows_sweep = open(os.path.join(out, "thr_0.97", "0000.txt")).readlines()
+    assert len(rows_sweep) < len(rows)
     out_thr = os.path.join(tree, "..", "out_thr")
-    track_kitti_sequences(module, cfg.data, out_thr, sequences=["0000"],
-                          window=8, score_threshold=0.97, evaluate=False)
+    ref = track_kitti_sequences(module, cfg.data, out_thr,
+                                sequences=["0000"], window=8,
+                                score_threshold=0.97, evaluate=True)
     rows_thr = open(os.path.join(out_thr, "0000.txt")).readlines()
-    assert len(rows_thr) < len(rows)
+    assert rows_thr == rows_sweep
+    ms, mr = stats["sweep"][0.97], ref["metrics"]
+    assert (ms.mota, ms.motp, ms.id_switches, ms.tp, ms.fp, ms.fn) == \
+        (mr.mota, mr.motp, mr.id_switches, mr.tp, mr.fp, mr.fn)
