@@ -114,7 +114,7 @@ def test_masked_bn_axis_name_under_shard_map():
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from mmmot_tpu.models.layers import MaskedBatchNorm
 
