@@ -24,4 +24,4 @@ Layout (mirrors SURVEY.md §7):
     cli/       train / track entry points
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
