@@ -9,7 +9,8 @@ so it runs instantly anywhere the result txts do.
 
     python -m mmmot_tpu.cli.evaluate --gt kitti/label_02 \
         --results results/latest [--classes car,pedestrian] \
-        [--sequences 0000,0001] [--per-sequence] [--summary]
+        [--sequences 0000,0001 | --seqmap evaluate_tracking.seqmap.training] \
+        [--per-sequence] [--summary]
 """
 
 from __future__ import annotations
@@ -29,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--sequences", default=None,
                    help="comma-separated sequence names (default: every "
                         "<seq>.txt present in BOTH directories)")
+    p.add_argument("--seqmap", default=None,
+                   help="KITTI devkit seqmap file ('<seq> empty <first> "
+                        "<n_frames>' per line): supplies the sequence list "
+                        "AND the authoritative per-sequence frame counts")
     p.add_argument("--classes", default="car",
                    help="comma-separated benchmark classes "
                         "(reference devkit: car then pedestrian)")
@@ -51,9 +56,16 @@ def _discover_sequences(gt_dir: str, result_dir: str):
 
 def main(argv=None):
     args = parse_args(argv)
-    from mmmot_tpu.eval import evaluate_tracking
+    from mmmot_tpu.eval import evaluate_tracking, read_seqmap
 
+    num_frames = None
+    if args.seqmap:
+        try:
+            num_frames = read_seqmap(args.seqmap)
+        except (OSError, ValueError) as exc:
+            raise SystemExit(f"--seqmap: {exc}")
     seqs = (args.sequences.split(",") if args.sequences
+            else sorted(num_frames) if num_frames is not None
             else _discover_sequences(args.gt, args.results))
     if not seqs:
         raise SystemExit(
@@ -68,7 +80,8 @@ def main(argv=None):
         cls = cls.strip().lower()
         overall, per_seq = evaluate_tracking(
             args.gt, args.results, seqs, cls=cls, per_sequence=True,
-            summary_dir=args.results if args.summary else None)
+            summary_dir=args.results if args.summary else None,
+            num_frames=num_frames)
         print(f"== {cls} ({len(seqs)} sequences) ==")
         print(overall.summary_text())
         if args.per_sequence:

@@ -1,3 +1,4 @@
 from mmmot_tpu.eval.kitti_devkit import (TrackingEvaluation, TrackingMetrics,
                                          evaluate_tracking,
-                                         evaluate_tracking_all_classes)
+                                         evaluate_tracking_all_classes,
+                                         read_seqmap)

@@ -328,16 +328,44 @@ class TrackingEvaluation:
         return m
 
 
+def read_seqmap(path: str) -> Dict[str, int]:
+    """Parse a KITTI devkit seqmap file -> {sequence name: num_frames}.
+
+    The reference devkit drives evaluation from
+    ``evaluate_tracking.seqmap.<split>`` files whose lines are
+    ``<seq> empty <first_frame> <n_frames>`` (e.g. ``0000 empty 000000
+    000154``); it reads the sequence list and the per-sequence frame count
+    from fields 0 and 3 (reference: kitti_devkit/evaluate_tracking.py ->
+    trackingEvaluation.loadGroundtruth / sequence setup).
+    """
+    out: Dict[str, int] = {}
+    with open(path) as fh:
+        for ln, line in enumerate(fh, 1):
+            fields = line.split()
+            if not fields:
+                continue
+            if len(fields) != 4:
+                raise ValueError(
+                    f"{path}:{ln}: expected 4 fields "
+                    f"'<seq> empty <first> <n_frames>', got {line!r}")
+            out[fields[0]] = int(fields[3])
+    return out
+
+
 def evaluate_tracking(gt_dir: str, result_dir: str,
                       sequences: Sequence[str], cls: str = "car",
                       per_sequence: bool = False,
-                      summary_dir: Optional[str] = None):
+                      summary_dir: Optional[str] = None,
+                      num_frames: Optional[Dict[str, int]] = None):
     """Score result txt files against GT txt files (devkit ``evaluate``).
 
     ``gt_dir/<seq>.txt`` and ``result_dir/<seq>.txt`` per sequence.
     With ``per_sequence`` returns ``(overall, {seq: TrackingMetrics})``;
     with ``summary_dir`` also writes ``summary_<cls>.txt`` (devkit stats
-    block) plus ``summary_<cls>_per_sequence.txt`` there.
+    block) plus ``summary_<cls>_per_sequence.txt`` there.  ``num_frames``
+    optionally maps sequence name -> frame count (a seqmap, see
+    :func:`read_seqmap`) like the devkit's per-sequence ``n_frames``;
+    without it the count is inferred from the labels present.
     """
     ev = TrackingEvaluation(cls=cls)
     seq_metrics: Dict[str, TrackingMetrics] = {}
@@ -345,14 +373,15 @@ def evaluate_tracking(gt_dir: str, result_dir: str,
         gt = read_kitti_tracking_labels(os.path.join(gt_dir, f"{seq}.txt"))
         trk = read_kitti_tracking_labels(
             os.path.join(result_dir, f"{seq}.txt"))
-        ev.add_sequence(gt, trk)
+        nf = num_frames.get(seq) if num_frames else None
+        ev.add_sequence(gt, trk, num_frames=nf)
         if per_sequence or summary_dir:
             one = TrackingEvaluation(
                 cls=cls, min_overlap=ev.min_overlap,
                 max_truncation=ev.max_truncation,
                 mt_threshold=ev.mt_threshold, ml_threshold=ev.ml_threshold,
                 boundary=ev.boundary)
-            one.add_sequence(gt, trk)
+            one.add_sequence(gt, trk, num_frames=nf)
             seq_metrics[seq] = one.compute()
     overall = ev.compute()
     if summary_dir:
@@ -374,10 +403,12 @@ def evaluate_tracking_all_classes(gt_dir: str, result_dir: str,
                                   sequences: Sequence[str],
                                   classes: Sequence[str] = ("car",
                                                             "pedestrian"),
-                                  summary_dir: Optional[str] = None
+                                  summary_dir: Optional[str] = None,
+                                  num_frames: Optional[Dict[str, int]] = None
                                   ) -> Dict[str, TrackingMetrics]:
     """Both benchmark classes in one call (devkit evaluates car then
     pedestrian per result sha)."""
     return {cls: evaluate_tracking(gt_dir, result_dir, sequences, cls=cls,
-                                   summary_dir=summary_dir)
+                                   summary_dir=summary_dir,
+                                   num_frames=num_frames)
             for cls in classes}

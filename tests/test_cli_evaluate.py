@@ -63,6 +63,46 @@ def test_missing_named_sequence_exits(tree):
               "--sequences", "0000,0099"])
 
 
+def test_seqmap_supplies_sequence_list(tree, tmp_path, capsys):
+    gt_dir, res_dir = tree
+    # Both dirs also hold 0001, but the seqmap names only 0000.
+    _write(os.path.join(gt_dir, "0001.txt"), GT)
+    _write(os.path.join(res_dir, "0001.txt"), _res(GT))
+    seqmap = tmp_path / "evaluate_tracking.seqmap.training"
+    seqmap.write_text("0000 empty 000000 000003\n")
+    assert main(["--gt", gt_dir, "--results", res_dir,
+                 "--seqmap", str(seqmap)]) == 0
+    assert "(1 sequences)" in capsys.readouterr().out
+
+
+def test_seqmap_frame_count_drives_far(tmp_path, capsys):
+    """The seqmap's n_frames is the FAR denominator (devkit n_frames)."""
+    gt_dir = str(tmp_path / "label_02")
+    res_dir = str(tmp_path / "results")
+    _write(os.path.join(gt_dir, "0000.txt"), GT)
+    # One spurious far-away box per frame -> 3 FPs.
+    fp_rows = [r.replace(" 100 100 200 200 ", " 700 100 800 200 ")
+               for r in GT]
+    _write(os.path.join(res_dir, "0000.txt"), _res(GT + fp_rows))
+    seqmap = tmp_path / "seqmap"
+    seqmap.write_text("0000 empty 000000 000030\n")
+    from mmmot_tpu.eval import evaluate_tracking
+    with_map = evaluate_tracking(gt_dir, res_dir, ["0000"],
+                                 num_frames={"0000": 30})
+    without = evaluate_tracking(gt_dir, res_dir, ["0000"])
+    assert with_map.fp == without.fp == 3
+    # FAR = FP / n_frames: 3 FP over 30 frames vs over 3 inferred frames.
+    assert abs(with_map.far - without.far / 10) < 1e-9
+
+
+def test_seqmap_rejects_malformed(tmp_path):
+    bad = tmp_path / "seqmap"
+    bad.write_text("0000 empty 000000\n")
+    from mmmot_tpu.eval import read_seqmap
+    with pytest.raises(ValueError):
+        read_seqmap(str(bad))
+
+
 def test_empty_intersection_exits(tmp_path):
     gt_dir = str(tmp_path / "label_02")
     res_dir = str(tmp_path / "results")
