@@ -82,17 +82,25 @@ def main(argv=None):
         net, {"params": state.params, "batch_stats": state.batch_stats},
         cfg.assoc)
 
+    # ``vars_`` is a jit ARGUMENT (not closed over): a closed-over device
+    # pytree is fetched d2h at trace time to embed as MLIR literals — minutes
+    # under a stalled axon tunnel, and it bloats the program (bench.py
+    # learned the same lesson; see docs/PERFORMANCE.md).
     @jax.jit
-    def step(track_state, image, cloud, boxes, det_mask, proj):
+    def step_fn(vars_, track_state, image, cloud, boxes, det_mask, proj):
+        mod = TrackingModule(net, vars_, cfg.assoc)
         crops = crop_and_resize_batched(
             image.astype(jnp.float32)[None], boxes[None], crop,
             det_mask[None], method="mxu")[0]
         crops = normalize_crops(crops, scale=1.0 / 255.0)
         pts, pmask = frustum_sample_batched(
             cloud[None], boxes[None], proj, P, det_mask=det_mask[None])
-        feats = module.extract(crops, pts[0], pmask[0], det_mask)
-        new_state, out = module.step_from_feats(track_state, feats, det_mask)
+        feats = mod.extract(crops, pts[0], pmask[0], det_mask)
+        new_state, out = mod.step_from_feats(track_state, feats, det_mask)
         return new_state, out["ids"]
+
+    def step(track_state, *args):
+        return step_fn(module.variables, track_state, *args)
 
     def fresh_state():
         ts = module.init_state(N)
