@@ -111,10 +111,17 @@ class TrackingNet(nn.Module):
         return self.fusion(img_feat, lidar_feat, det_mask)
 
     # ---- affinity between two frames -----------------------------------
-    def affinity(self, feats_prev: Dict[str, jnp.ndarray],
-                 feats_curr: Dict[str, jnp.ndarray],
-                 mask_prev, mask_curr, *, train: bool = False
-                 ) -> AffinityOutput:
+    def affinity_link(self, feats_prev: Dict[str, jnp.ndarray],
+                      feats_curr: Dict[str, jnp.ndarray],
+                      mask_prev, mask_curr, *, train: bool = False
+                      ) -> jnp.ndarray:
+        """Raw (un-normalised) link scores only — no new/end heads.
+
+        The hybrid y_det pre-solve (tracker/sequence.py::_hybrid_track)
+        batches just the correlation matmuls over all T pairs and
+        re-derives normalisation + new/end per frame with the exact
+        carried masks, so computing them here would be discarded work.
+        """
         links = []
         for b in self.score_branches:
             if b not in feats_prev or b not in feats_curr:
@@ -125,6 +132,14 @@ class TrackingNet(nn.Module):
         link = jnp.sum(jnp.stack(links), axis=0)
         if self.cfg.score_fusion == "avg":
             link = link / len(links)
+        return link
+
+    def affinity(self, feats_prev: Dict[str, jnp.ndarray],
+                 feats_curr: Dict[str, jnp.ndarray],
+                 mask_prev, mask_curr, *, train: bool = False
+                 ) -> AffinityOutput:
+        link = self.affinity_link(feats_prev, feats_curr, mask_prev,
+                                  mask_curr, train=train)
         new, end = self.new_end(feats_prev["fused"], feats_curr["fused"],
                                 link, mask_prev, mask_curr, train=train)
         link_norm = normalize_link(link, mask_prev, mask_curr,

@@ -105,8 +105,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         # COUNT applied to real data by mistake (ADVICE r2).
         hint = (" (--sequences takes sequence NAMES for real KITTI data; "
                 "a COUNT applies only to synthetic data)"
-                if any(u.isdigit() and u not in ds.sequences
-                       for u in unknown) else "")
+                if any(u.isdigit() for u in unknown) else "")
         raise SystemExit(
             f"unknown sequence name(s) {unknown}; available: "
             f"{ds.sequences}{hint}")

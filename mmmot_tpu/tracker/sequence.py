@@ -259,7 +259,11 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     mask_prev_opt = jnp.concatenate([state0.mask[None], det_mask[:-1]])
 
     # Batched heavy work (optimistic masks): raw link scores + det logits.
-    aff = module.affinity(prev_feats, feats, mask_prev_opt, det_mask)
+    # Link-only: normalisation and the new/end heads are re-derived per
+    # frame in the scan with the exact carried masks, so the full affinity
+    # outputs would be discarded work here.
+    link_all = module.affinity_link(prev_feats, feats, mask_prev_opt,
+                                    det_mask)
     det_logit = net.apply(module.variables, feats["fused"], det_mask,
                           method=net.det_score)                # [T, N]
     det_logit0 = net.apply(module.variables, state0.feats["fused"],
@@ -302,7 +306,7 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     (mask_last, ids_last, ages_last, next_id), (ids, det_score) = \
         jax.lax.scan(step,
                      (state0.mask, state0.ids, state0.ages, state0.next_id),
-                     (aff.link, prev_feats["fused"], feats["fused"],
+                     (link_all, prev_feats["fused"], feats["fused"],
                       det_logit_prev_full, det_logit, det_mask))
     final = TrackerState(
         feats={k: v[-1] for k, v in feats.items()},

@@ -229,6 +229,21 @@ class TrackingModule:
                               mask_prev, mask_curr, train=False,
                               method=self.net.affinity)
 
+    def affinity_link(self, feats_prev, feats_curr, mask_prev, mask_curr):
+        """Raw link scores only, for the hybrid y_det pre-solve.
+
+        On the XLA path this skips the new/end heads and normalisation
+        (they are re-derived per frame with the exact carried masks); the
+        fused Pallas kernel computes everything in one VMEM-resident pass
+        anyway, so its link output is simply reused.
+        """
+        if self.use_pallas_affinity:
+            return self._affinity_pallas(feats_prev, feats_curr, mask_prev,
+                                         mask_curr).link
+        return self.net.apply(self.variables, feats_prev, feats_curr,
+                              mask_prev, mask_curr, train=False,
+                              method=self.net.affinity_link)
+
     def step_from_feats(self, state: TrackerState,
                         feats: Dict[str, jnp.ndarray], det_mask
                         ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:

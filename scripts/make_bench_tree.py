@@ -29,6 +29,12 @@ from collections import defaultdict
 
 import numpy as np
 
+# Allow direct invocation (python scripts/make_bench_tree.py) without an
+# installed package: the repo root must be on sys.path BEFORE the package
+# import below.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
 from mmmot_tpu.data.kitti_io import KittiObject, write_kitti_result
 
 H, W = 384, 1248
@@ -197,6 +203,4 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True):
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     build_tree(sys.argv[1] if len(sys.argv) > 1 else "/tmp/kitti_bench")

@@ -198,7 +198,6 @@ def main():
                 "fp_score_mean": round(float(ds[fp_m].mean()), 4),
                 "n_fp": int(fp_m.sum()), "n_degraded": int(deg_m.sum())}
     # New-head response per class (bias of the LP's keep-as-new arm).
-    from mmmot_tpu.tracker.sequence import _scan_track  # noqa: F401
     feats_d = jax.jit(lambda c, p_, q, d: net.apply(
         variables, c, p_, q, d, train=False, method=net.extract))(
         jnp.asarray(world.crops), jnp.asarray(world.points),
