@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="also print one metrics line per sequence")
     p.add_argument("--summary", action="store_true",
                    help="write summary_<class>.txt files into --results")
+    p.add_argument("--hota", action="store_true",
+                   help="also score HOTA/DetA/AssA (the modern KITTI "
+                        "benchmark headline metric; TrackEval algorithm)")
     return p.parse_args(argv)
 
 
@@ -56,7 +59,7 @@ def _discover_sequences(gt_dir: str, result_dir: str):
 
 def main(argv=None):
     args = parse_args(argv)
-    from mmmot_tpu.eval import evaluate_tracking, read_seqmap
+    from mmmot_tpu.eval import evaluate_hota, evaluate_tracking, read_seqmap
 
     num_frames = None
     if args.seqmap:
@@ -84,6 +87,12 @@ def main(argv=None):
             num_frames=num_frames)
         print(f"== {cls} ({len(seqs)} sequences) ==")
         print(overall.summary_text())
+        if args.hota:
+            hm = evaluate_hota(
+                args.gt, args.results, seqs, cls=cls,
+                summary_dir=args.results if args.summary else None,
+                num_frames=num_frames)
+            print(hm.summary_text())
         if args.per_sequence:
             for seq in seqs:
                 print(f"{seq}: {per_seq[seq].summary()}")

@@ -93,7 +93,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
     from mmmot_tpu.data.kitti_io import (read_kitti_tracking_labels,
                                          tracker_output_to_objects,
                                          write_kitti_result)
-    from mmmot_tpu.eval import TrackingEvaluation
+    from mmmot_tpu.eval import HotaEvaluation, TrackingEvaluation
 
     crop = tuple(data_cfg.crop_size)
     P = data_cfg.point_len
@@ -342,6 +342,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     cls = data_cfg.track_class.lower()
     ev = TrackingEvaluation(cls=cls)
+    hev = HotaEvaluation(cls=cls)
     sweep = tuple(score_sweep or ())
     sweep_evs = {thr: TrackingEvaluation(cls=cls) for thr in sweep}
     per_seq = {}
@@ -414,6 +415,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     # frame_ids[-1] + 1 > T and result rows beyond T
                     # would silently drop from scoring (ADVICE r2).
                     ev.add_sequence(gt, trk, num_frames=nf_sweep)
+                    hev.add_sequence(gt, trk, num_frames=nf_sweep)
                     one = TrackingEvaluation(cls=cls)
                     one.add_sequence(gt, trk, num_frames=nf_sweep)
                     per_seq[seq] = one.compute()
@@ -434,8 +436,13 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         if sweep:
             stats["sweep"] = {thr: e.compute()
                               for thr, e in sweep_evs.items()}
+        hm = hev.compute()
+        stats["hota"] = hm
         with open(os.path.join(res_dir, f"summary_{cls}.txt"), "w") as fh:
             fh.write(m.summary_text())
+        with open(os.path.join(res_dir, f"hota_{cls}.txt"), "w") as fh:
+            fh.write(hm.summary_text())
         if log:
             log.info("metrics: %s", m.summary())
+            log.info("hota: %s", hm.summary())
     return stats
