@@ -96,6 +96,8 @@ def main(argv=None):
         pts, pmask = frustum_sample_batched(
             cloud[None], boxes[None], proj, P, det_mask=det_mask[None])
         feats = mod.extract(crops, pts[0], pmask[0], det_mask)
+        if mod.spatial_gating:
+            feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(track_state, feats, det_mask)
         return new_state, out["ids"]
 
@@ -107,7 +109,8 @@ def main(argv=None):
         cdt = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
                else jnp.float32)
         return ts._replace(
-            feats={k: v.astype(cdt) for k, v in ts.feats.items()})
+            feats={k: (v if k == "box" else v.astype(cdt))
+                   for k, v in ts.feats.items()})
 
     ready = {"ready": True, "config": cfg.name}
     if args.warmup:

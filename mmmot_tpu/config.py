@@ -212,6 +212,18 @@ class AssocConfig:
                                        # for clutter-like dets ([VERIFY]
                                        # which the reference ILP uses;
                                        # sigmoid ships as the default)
+    iou_gate: float = 0.0              # > 0: forbid links whose 2D box IoU
+                                       # between consecutive frames is
+                                       # below this (spatial gate — a
+                                       # TPU-native ADDITION; the
+                                       # reference ILP scores links by
+                                       # appearance only).  Requires box
+                                       # information in the pipeline (the
+                                       # raw-frames paths, predict/serve
+                                       # with boxes).
+    iou_weight: float = 0.0            # != 0: add iou_weight * IoU to the
+                                       # link scores (soft spatial prior;
+                                       # combinable with iou_gate)
     revival_window: int = 0            # 0 = strictly adjacent-frame like
                                        # the reference (SURVEY §3.2
                                        # [VERIFY]: terminated tracks are

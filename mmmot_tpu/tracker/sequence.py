@@ -152,8 +152,10 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         state0 = module.make_state0(
             {k: v.shape[-1] for k, v in feats.items()}, N)
     cdtype = feats["fused"].dtype
+    # "box" (spatial-gate coordinates) stays f32: bf16 rounds pixel coords.
     state0 = state0._replace(
-        feats={k: v.astype(cdtype) for k, v in state0.feats.items()})
+        feats={k: (v if k == "box" else v.astype(cdtype))
+               for k, v in state0.feats.items()})
 
     if getattr(module, "parallel_assoc", False):
         return _parallel_track(module, feats, det_mask, state0)
@@ -193,6 +195,11 @@ def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     # Pallas kernel when enabled (grid over pairs), XLA modules otherwise.
     aff = module.affinity(prev_feats, feats, mask_prev, det_mask)
     link = aff.link_norm
+    if module.spatial_gating:
+        from mmmot_tpu.tracker.tracker import apply_spatial_gate
+
+        link = apply_spatial_gate(link, prev_feats["box"], feats["box"],
+                                  module.assoc_cfg)
     raw = module.assoc_cfg.raw_new_end
     new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
     end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
@@ -274,13 +281,24 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     def _new_end(net, fp, fc, l, mp, mc):
         return net.new_end(fp, fc, l, mp, mc, train=False)
 
+    gating = module.spatial_gating
+
     def step(carry, x):
         mp, ids_prev, ages_prev, next_id = carry
-        link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm = x
+        if gating:
+            (link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm,
+             box_prev, box_curr) = x
+        else:
+            link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm = x
         pm = pair_mask(mp, dm)
         link = link_raw * pm.astype(link_raw.dtype)
         link_norm = normalize_link(link, mp, dm,
                                    net.cfg.affinity.softmax_mode)
+        if gating:
+            from mmmot_tpu.tracker.tracker import apply_spatial_gate
+
+            link_norm = apply_spatial_gate(link_norm, box_prev, box_curr,
+                                           module.assoc_cfg)
         new, end = net.apply(module.variables, fp_fused, fc_fused, link,
                              mp, dm, method=_new_end)
         raw = module.assoc_cfg.raw_new_end
@@ -307,7 +325,9 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         jax.lax.scan(step,
                      (state0.mask, state0.ids, state0.ages, state0.next_id),
                      (link_all, prev_feats["fused"], feats["fused"],
-                      det_logit_prev_full, det_logit, det_mask))
+                      det_logit_prev_full, det_logit, det_mask)
+                     + ((prev_feats["box"], feats["box"]) if gating
+                        else ()))
     final = TrackerState(
         feats={k: v[-1] for k, v in feats.items()},
         mask=mask_last, ids=ids_last, ages=ages_last, next_id=next_id)
@@ -316,7 +336,7 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
 def track_sequence(module: TrackingModule, crops, points, point_mask,
                    det_mask, compact_capacity: int | None = None,
-                   extract_chunk: int | None = None
+                   extract_chunk: int | None = None, boxes=None
                    ) -> Dict[str, jnp.ndarray]:
     """Track one sequence of ``T`` frames of padded detections.
 
@@ -339,6 +359,8 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     else:
         # One batched feature pass over every (frame, slot).
         feats = module.extract(crops, points, point_mask, det_mask)
+    if boxes is not None and module.spatial_gating:
+        feats["box"] = jnp.asarray(boxes, jnp.float32)  # [T, N, 4]
     out, _ = _scan_track(module, feats, det_mask)
     out["n_dropped"] = n_valid - jnp.sum(det_mask.astype(jnp.int32))
     return out
@@ -418,6 +440,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                 method="mxu")
             crops = normalize_crops(crops, scale=scale)
         feats = module.extract(crops, points, point_mask, det_mask)
+        if module.spatial_gating:
+            feats["box"] = boxes.astype(jnp.float32)
         out, final = _scan_track(module, feats, det_mask, state0=state0)
         out["n_dropped"] = jnp.int32(0)   # per-slot path never drops
     else:
@@ -455,6 +479,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         feats_c = _chunked(ex, (tsel, boxes_c, boxes3d_c, taken),
                            compact_capacity, extract_chunk)
         feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
+        if module.spatial_gating:
+            feats["box"] = boxes.astype(jnp.float32)
         out, final = _scan_track(module, feats, kept, state0=state0)
         out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))
     if return_state:
@@ -463,19 +489,22 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
 
 
 def track_sequences_batched(module: TrackingModule, crops, points,
-                            point_mask, det_mask) -> Dict[str, jnp.ndarray]:
+                            point_mask, det_mask, boxes=None
+                            ) -> Dict[str, jnp.ndarray]:
     """Track ``S`` sequences at once: inputs have a leading [S] axis.
 
     vmap over the sequence axis; shard that axis over the mesh's data axis
     for multi-chip streaming (mmmot_tpu.parallel.shard_sequences).
     """
-    def one(c, p, pm, dm):
-        return track_sequence(module, c, p, pm, dm)
+    def one(c, p, pm, dm, bx):
+        return track_sequence(module, c, p, pm, dm, boxes=bx)
 
     in_axes = (0 if crops is not None else None,
                0 if points is not None else None,
-               0 if point_mask is not None else None, 0)
-    return jax.vmap(one, in_axes=in_axes)(crops, points, point_mask, det_mask)
+               0 if point_mask is not None else None, 0,
+               0 if boxes is not None else None)
+    return jax.vmap(one, in_axes=in_axes)(crops, points, point_mask,
+                                          det_mask, boxes)
 
 
 def track_sequences_from_frames_batched(module: TrackingModule, images,

@@ -55,9 +55,13 @@ class TrackerState(NamedTuple):
 
 def init_state(feat_dims: Dict[str, int], num_slots: int,
                dtype=jnp.float32, with_missed: bool = False) -> TrackerState:
+    # The "box" entry (spatial-gate coordinates, iou_gate/iou_weight) stays
+    # float32 regardless of the compute dtype: bf16 rounds KITTI pixel
+    # coordinates (~1e3) to +-4 px, enough to corrupt gate IoUs.
     return TrackerState(
-        feats={k: jnp.zeros((num_slots, d), dtype) for k, d in
-               feat_dims.items()},
+        feats={k: jnp.zeros((num_slots, d),
+                            jnp.float32 if k == "box" else dtype)
+               for k, d in feat_dims.items()},
         mask=jnp.zeros((num_slots,), bool),
         ids=jnp.full((num_slots,), -1, jnp.int32),
         ages=jnp.zeros((num_slots,), jnp.int32),
@@ -65,6 +69,30 @@ def init_state(feat_dims: Dict[str, int], num_slots: int,
         missed=(jnp.zeros((num_slots,), jnp.int32) if with_missed
                 else None),
     )
+
+
+def apply_spatial_gate(link, box_prev, box_curr, cfg: AssocConfig):
+    """Optional spatial prior on the link scores (TPU-native addition —
+    the reference associates on appearance only).
+
+    ``iou_weight`` adds a soft IoU bonus; ``iou_gate`` forbids pairs below
+    the IoU floor outright (the assoc ``NEG`` sentinel, so every solver
+    and host oracle agrees).  Boxes are (l, t, r, b); empty slots carry
+    zero boxes (IoU 0 against everything) but are already excluded by the
+    solver masks.
+    """
+    from mmmot_tpu.assoc.cost import NEG
+    from mmmot_tpu.ops.boxes import pairwise_iou
+
+    iou = pairwise_iou(box_prev.astype(jnp.float32),
+                       box_curr.astype(jnp.float32))
+    if cfg.iou_weight:
+        link = link + jnp.asarray(cfg.iou_weight, link.dtype) * \
+            iou.astype(link.dtype)
+    if cfg.iou_gate > 0.0:
+        link = jnp.where(iou >= cfg.iou_gate, link,
+                         jnp.asarray(NEG, link.dtype))
+    return link
 
 
 def assign_ids(state: TrackerState, dec: Decisions, det_mask
@@ -149,6 +177,13 @@ class TrackingModule:
         # Results identical to the fully sequential scan (tested).
         self.hybrid_presolve = hybrid_presolve
 
+    @property
+    def spatial_gating(self) -> bool:
+        """Whether the IoU gate / soft spatial prior is configured — the
+        pipeline must then carry per-detection boxes (``feats["box"]``)."""
+        return (self.assoc_cfg.iou_gate > 0.0
+                or self.assoc_cfg.iou_weight != 0.0)
+
     def extract(self, crops, points, point_mask, det_mask):
         return self.net.apply(self.variables, crops, points, point_mask,
                               det_mask, train=False, method=self.net.extract)
@@ -175,6 +210,8 @@ class TrackingModule:
                 dims["image"] = c.appearance.out_dim
             if dead_sensor != "lidar":
                 dims["lidar"] = c.point.out_dim
+        if self.spatial_gating:
+            dims["box"] = 4
         return self.make_state0(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
@@ -265,6 +302,15 @@ class TrackingModule:
                 det_mask = jnp.pad(det_mask, (0, pad))
         aff = self.affinity(state.feats, feats, state.mask, det_mask)
         link = aff.link_norm
+        if self.spatial_gating:
+            if "box" not in feats:
+                raise ValueError(
+                    "iou_gate/iou_weight need per-detection boxes: carry "
+                    "them as feats['box'] (the raw-frames pipeline and "
+                    "predict(boxes=...) do; the crops-only track_sequence "
+                    "path needs its boxes argument)")
+            link = apply_spatial_gate(link, state.feats["box"],
+                                      feats["box"], self.assoc_cfg)
         raw = self.assoc_cfg.raw_new_end
         new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
         end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
@@ -358,7 +404,13 @@ class TrackingModule:
         )
 
     def predict(self, state: TrackerState, crops, points, point_mask,
-                det_mask) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
-        """Full per-frame update (reference: TrackingModule.predict)."""
+                det_mask, boxes=None
+                ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
+        """Full per-frame update (reference: TrackingModule.predict).
+
+        ``boxes`` [N, 4] (l, t, r, b) is required when the spatial gate is
+        configured (``iou_gate``/``iou_weight``)."""
         feats = self.extract(crops, points, point_mask, det_mask)
+        if boxes is not None and self.spatial_gating:
+            feats["box"] = jnp.asarray(boxes, jnp.float32)
         return self.step_from_feats(state, feats, det_mask)

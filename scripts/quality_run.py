@@ -49,8 +49,10 @@ def evaluate(net, variables, cfg, assoc_cfg, mode="full", sequences=3,
     N = cfg.data.max_dets
     P = cfg.data.point_len
 
-    def one(c, p, pm, dm):
-        return track_sequence(module, c, p, pm, dm)
+    def one(c, p, pm, dm, bx):
+        # boxes feed the optional spatial gate (iou_gate/iou_weight);
+        # ignored unless the assoc config enables it.
+        return track_sequence(module, c, p, pm, dm, boxes=bx)
 
     track = jax.jit(one)
     ev = TrackingEvaluation(cls="car")
@@ -63,7 +65,8 @@ def evaluate(net, variables, cfg, assoc_cfg, mode="full", sequences=3,
         crops = None if mode == "dead_camera" else jnp.asarray(world.crops)
         points = None if mode == "dead_lidar" else jnp.asarray(world.points)
         out = track(crops, points, jnp.asarray(world.point_mask),
-                    jnp.asarray(world.det_mask))
+                    jnp.asarray(world.det_mask),
+                    jnp.asarray(world.boxes2d))
         ids = np.asarray(out["ids"])
         keep = world.det_mask
         if score_threshold > 0:
@@ -270,6 +273,21 @@ def main():
         dataclasses.replace(cfg.assoc, use_det_scores=True,
                             det_score_weight=1.0, raw_new_end=True,
                             revival_window=2), **noise)
+    # Spatial gate (TPU-native addition; the reference associates on
+    # appearance only): a soft IoU prior + hard floor on top of the best
+    # LP configuration — box continuity disambiguates appearance-ambiguous
+    # clutter and vetoes teleport links outright.
+    rows["noisy_ydet_gate"] = evaluate(
+        net, variables, cfg,
+        dataclasses.replace(cfg.assoc, use_det_scores=True,
+                            det_score_weight=1.0, raw_new_end=True,
+                            iou_weight=1.0, iou_gate=0.1), **noise)
+    rows["noisy_ydet_revival_gate"] = evaluate(
+        net, variables, cfg,
+        dataclasses.replace(cfg.assoc, use_det_scores=True,
+                            det_score_weight=1.0, raw_new_end=True,
+                            revival_window=2,
+                            iou_weight=1.0, iou_gate=0.1), **noise)
 
     report = {"train_epochs": cfg.train.epochs,
               "train_seconds": round(train_time, 1),
