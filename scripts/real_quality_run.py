@@ -165,6 +165,12 @@ def main():
     rows["ydet"] = run("ydet", ydet)[0]
     rows["ydet_revival"] = run(
         "ydet_revival", dataclasses.replace(ydet, revival_window=2))[0]
+    # Spatial gate (assoc.iou_gate/iou_weight — addition over the
+    # reference's appearance-only ILP) on top of the full stack.
+    rows["ydet_revival_gate"] = run(
+        "ydet_revival_gate",
+        dataclasses.replace(ydet, revival_window=2,
+                            iou_weight=1.0, iou_gate=0.1))[0]
 
     section = {
         "what": "Same REAL streaming path as the oracle run, under a "

@@ -110,3 +110,14 @@ def test_empty_intersection_exits(tmp_path):
     os.makedirs(res_dir)
     with pytest.raises(SystemExit):
         main(["--gt", gt_dir, "--results", res_dir])
+
+
+def test_hota_flag(tree, capsys):
+    gt_dir, res_dir = tree
+    assert main(["--gt", gt_dir, "--results", res_dir,
+                 "--hota", "--summary"]) == 0
+    out = capsys.readouterr().out
+    assert "HOTA" in out and "AssA" in out
+    # A perfect result scores HOTA 1 and writes the hota summary file.
+    assert " 1.000000" in out.split("HOTA evaluation summary")[1]
+    assert os.path.exists(os.path.join(res_dir, "hota_car.txt"))
