@@ -139,6 +139,9 @@ def main():
             sequences=[val_seq], window=64,
             score_sweep=score_sweep, evaluate=True)
         row = _row(stats["metrics"])
+        if "hota" in stats:  # runner scores HOTA alongside CLEAR
+            row["hota"] = round(float(stats["hota"].hota), 4)
+            row["assa"] = round(float(stats["hota"].assa), 4)
         print(f"{tag:28s} {row}", flush=True)
         return row, stats
 
