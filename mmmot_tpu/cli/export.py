@@ -1,0 +1,81 @@
+"""Export the serving step as an AOT deployment artifact (jax.export).
+
+TPU-native replacement for the reference's "ship the code + .pth.tar"
+deployment (SURVEY §5.4): one directory holds the StableHLO program of the
+complete per-frame tracking step, its weights, the initial tracker state
+and a manifest — a serving process loads it with ``DeployedTracker.load``
+(or ``mmmot-serve --exported DIR``) and never touches the model zoo.
+
+    mmmot-export --config experiments/full_mmmot/config.yaml \
+        --load-path ckpts/best --out artifacts/full_mmmot \
+        --shape 384x1248x16384 --platforms cpu,tpu
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="export the tracking serve step as an AOT artifact")
+    p.add_argument("--config", required=True)
+    p.add_argument("--load-path", default=None,
+                   help="orbax checkpoint to export (random init if unset "
+                        "— useful only for pipeline tests)")
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--shape", default="384x1248x16384",
+                   help="HxWxM image/cloud shape the program is built for "
+                        "(static under XLA; KITTI default)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets; no device of "
+                        "the target platform is required")
+    p.add_argument("--cpu", action="store_true",
+                   help="run the exporting process itself on CPU")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        from mmmot_tpu.utils.jax_setup import force_cpu
+
+        force_cpu()
+    from mmmot_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.config import load_config
+    from mmmot_tpu.deploy import export_serve_step, save_artifact
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.train import create_train_state
+    from mmmot_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = load_config(args.config)
+    h, w, m = (int(x) for x in args.shape.split("x"))
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s)
+
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    dummy = {"crops": jnp.zeros((1, 2, N) + crop + (3,)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, jax.random.PRNGKey(0), dummy)
+    if args.load_path:
+        state = restore_checkpoint(args.load_path, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    exported, state0 = export_serve_step(
+        cfg, variables, (h, w), m, platforms=platforms)
+    save_artifact(args.out, exported, variables, state0, cfg, (h, w), m)
+    print(f"exported {cfg.name} serve step ({'/'.join(platforms)}, "
+          f"image {h}x{w}, cloud {m}, N={N}) -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,14 @@ import sys
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="mmmot_tpu tracking service")
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None,
+                   help="experiment config (required unless --exported)")
     p.add_argument("--load-path", default=None)
+    p.add_argument("--exported", default=None,
+                   help="serve an AOT artifact directory (mmmot-export) "
+                        "instead of building the model: the StableHLO "
+                        "program + weights are loaded as-is — no model "
+                        "code, no re-trace, no checkpoint restore")
     p.add_argument("--warmup", action="store_true",
                    help="compile the per-frame step at startup (on dummy "
                         "arrays of --warmup-shape) so the first client "
@@ -42,6 +48,52 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _serve_exported(args):
+    """Protocol loop over an AOT artifact (mmmot-export): the deserialized
+    StableHLO program IS the tracker — no model build, no re-trace."""
+    import time
+
+    import numpy as np
+
+    from mmmot_tpu.deploy import DeployedTracker
+
+    trk = DeployedTracker.load(args.exported)
+    man = trk.manifest
+    ready = {"ready": True, "config": man.get("config", "?"),
+             "exported": True, "platforms": man.get("platforms")}
+    if args.warmup:
+        h, w = man["image_hw"]
+        t0 = time.perf_counter()
+        trk.step(np.zeros((h, w, 3), np.uint8),
+                 np.zeros((man["cloud_points"], 4), np.float32),
+                 np.zeros((1, 4), np.float32),
+                 np.zeros((3, 4), np.float32))
+        trk.reset()
+        ready["warmup_secs"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(ready), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "quit":
+                print(json.dumps({"ok": True}), flush=True)
+                break
+            if req.get("cmd") == "reset":
+                trk.reset()
+                print(json.dumps({"ok": True}), flush=True)
+                continue
+            data = np.load(req["npz"])
+            frame = trk.frame_idx
+            ids, _scores = trk.step(data["image"], data["cloud"],
+                                    data["boxes"], data["proj"])
+            print(json.dumps({"frame": frame, "ids": ids}), flush=True)
+        except Exception as e:  # noqa: BLE001 — service must keep running
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.cpu:
@@ -51,6 +103,12 @@ def main(argv=None):
     from mmmot_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+
+    if args.exported:
+        _serve_exported(args)
+        return
+    if not args.config:
+        raise SystemExit("--config is required unless --exported is given")
 
     import jax
     import jax.numpy as jnp

@@ -47,6 +47,12 @@ def parse_args(argv=None):
                    help="simulate a failed sensor on the real pipeline "
                         "(fusion keeps per-modality branches live — the "
                         "reference's robustness story)")
+    p.add_argument("--submission-zip", default=None, metavar="ZIP",
+                   help="after tracking real-KITTI sequences, package the "
+                        "result txts as a KITTI tracking-benchmark "
+                        "submission zip (one <seq>.txt per sequence at the "
+                        "archive root); pair with --no-eval on the test "
+                        "split, which ships no GT labels")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -125,6 +131,9 @@ def main(argv=None):
     if args.batch_sequences > 1:
         log.warning("--batch-sequences is ignored with synthetic data "
                     "(sequences run serially here)")
+    if args.submission_zip:
+        log.warning("--submission-zip is ignored with synthetic data "
+                    "(nothing KITTI-submittable here)")
     args.frames = args.frames if args.frames is not None else 30
     for s in range(n_seqs):
         world = make_synthetic_sequence(
@@ -190,6 +199,12 @@ def _track_kitti(args, cfg, module, res_dir, log):
     if stats["total_frames"]:
         log.info("throughput: %.1f FPS (steady-state), %d compiled "
                  "programs", stats["fps"], stats["n_programs"])
+    if args.submission_zip:
+        from mmmot_tpu.data.kitti_io import package_submission
+
+        names = package_submission(res_dir, args.submission_zip)
+        log.info("submission: packaged %d sequence files -> %s",
+                 len(names), args.submission_zip)
     return stats
 
 

@@ -93,6 +93,31 @@ def write_kitti_result(objects: Sequence[KittiObject], path: str) -> None:
             fh.write(o.to_line() + "\n")
 
 
+def package_submission(res_dir: str, zip_path: str) -> List[str]:
+    """Package a result directory as a KITTI tracking-benchmark submission.
+
+    The KITTI server expects a zip with one ``<seq>.txt`` per test sequence
+    at the archive root (the reference leaves this step to the user after
+    ``eval_seq.py`` writes its txts — same txts, same names here).  Only
+    four-digit sequence files are packaged; devkit side-products
+    (``summary_<cls>.txt``, ``hota_<cls>.txt``, ``thr_*/`` sweep dirs) are
+    skipped.  Returns the packaged sequence file names.
+    """
+    import re
+    import zipfile
+
+    names = sorted(f for f in os.listdir(res_dir)
+                   if re.fullmatch(r"\d{4}\.txt", f))
+    if not names:
+        raise FileNotFoundError(
+            f"no NNNN.txt sequence results in {res_dir!r} to package")
+    os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n in names:
+            zf.write(os.path.join(res_dir, n), arcname=n)
+    return names
+
+
 def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
                               boxes2d: np.ndarray,
                               scores: Optional[np.ndarray] = None,

@@ -1,0 +1,315 @@
+"""AOT deployment artifacts: the serving step as a serialized StableHLO
+program (``jax.export``).
+
+The reference's deployment story is "ship the Python tree + a ``.pth.tar``
+checkpoint" (SURVEY §5.4 — utils/train_util.py save_checkpoint/load_state);
+serving then re-runs the whole PyTorch stack.  The TPU-native equivalent is
+an **ahead-of-time exported program**: the complete per-frame serving step —
+on-device crop resize + frustum sampling, VGG/PointNet feature extraction,
+fusion, affinity + new/end heads, the in-graph LP association and ID
+assignment — is traced ONCE, lowered to StableHLO for the target platforms,
+and written to disk next to its weights.  A serving process (or a C++ XLA
+runtime) can then run the tracker without the model zoo, flax, or any of
+this package's model code: load, feed arrays, read track IDs.
+
+Artifact layout (one directory):
+
+    serve_step.stablehlo   jax.export serialization of the step program
+    weights.npz            model variables, one entry per pytree path
+    state0.npz             zero TrackerState matching the program's carry
+    manifest.json          shapes/dtypes/platforms/config provenance
+
+The step program signature (all shapes static, from the manifest):
+
+    (weights, state, image [H,W,3] uint8, cloud [M,4] f32,
+     boxes [N,4] f32, det_mask [N] bool, proj [3,4] f32)
+        -> (state', ids [N] i32, det_score [N] f32)
+
+Weights ride as ARGUMENTS, not baked constants: embedding ~10^7 parameters
+as MLIR literals bloats the artifact and re-traces fetch them device→host
+(the repo-wide lesson from bench.py/serve.py — docs/PERFORMANCE.md).
+State is a plain dict-of-arrays pytree (the TrackerState NamedTuple is
+rebuilt inside the program), so deserialization never needs this package's
+classes to reconstruct the calling convention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = ["export_serve_step", "save_artifact", "DeployedTracker",
+           "ARTIFACT_PROGRAM", "ARTIFACT_WEIGHTS", "ARTIFACT_STATE0",
+           "ARTIFACT_MANIFEST"]
+
+ARTIFACT_PROGRAM = "serve_step.stablehlo"
+ARTIFACT_WEIGHTS = "weights.npz"
+ARTIFACT_STATE0 = "state0.npz"
+ARTIFACT_MANIFEST = "manifest.json"
+
+_SEP = "//"  # pytree-path separator inside npz keys (flax uses plain '/')
+
+
+def _flatten_to_npz(tree) -> Dict[str, Any]:
+    """Flatten a nested-dict pytree to {path: array} with _SEP-joined keys."""
+    import jax
+    import numpy as np
+
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_path_name(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_name(entry) -> str:
+    import jax
+
+    if isinstance(entry, jax.tree_util.DictKey):
+        return str(entry.key)
+    if isinstance(entry, jax.tree_util.GetAttrKey):
+        return entry.name
+    if isinstance(entry, jax.tree_util.SequenceKey):
+        return str(entry.idx)
+    return str(entry)
+
+
+def _skeleton(tree) -> Any:
+    """JSON-able structure record for a nested-dict pytree: dicts stay
+    dicts, leaves become their dtype name.
+
+    Two things npz keys alone cannot represent: EMPTY subtrees (e.g.
+    ``batch_stats`` of a BN-free model flattens to zero entries and would
+    silently vanish, breaking the exported call's pytree structure) and
+    extension dtypes (the .npy format round-trips bfloat16 as an opaque
+    2-byte void) — the manifest carries this skeleton so loading rebuilds
+    the exact structure and dtypes."""
+    import numpy as np
+
+    if isinstance(tree, dict):
+        return {k: _skeleton(v) for k, v in tree.items()}
+    return str(np.asarray(tree).dtype)
+
+
+def _fill_from_npz(skel, npz, prefix=()) -> Any:
+    """Rebuild the nested dict described by ``skel`` from npz entries."""
+    import numpy as np
+
+    if isinstance(skel, dict):
+        return {k: _fill_from_npz(v, npz, prefix + (k,))
+                for k, v in skel.items()}
+    arr = npz[_SEP.join(prefix)]
+    dt = np.dtype(skel)   # extension names (bfloat16) registered by jax
+    return arr if arr.dtype == dt else arr.view(dt)
+
+
+def _state_to_dict(state) -> Dict[str, Any]:
+    d = {"feats": dict(state.feats), "mask": state.mask, "ids": state.ids,
+         "ages": state.ages, "next_id": state.next_id}
+    if state.missed is not None:
+        d["missed"] = state.missed
+    return d
+
+
+def _state_from_dict(d):
+    from mmmot_tpu.tracker.tracker import TrackerState
+
+    return TrackerState(feats=dict(d["feats"]), mask=d["mask"],
+                        ids=d["ids"], ages=d["ages"], next_id=d["next_id"],
+                        missed=d.get("missed"))
+
+
+def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int):
+    """The per-frame serving step (same math as cli/serve.py's step_fn),
+    with dict-pytree state I/O so the exported calling convention is
+    framework-agnostic."""
+    import jax.numpy as jnp
+
+    from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           normalize_crops)
+    from mmmot_tpu.ops.frustum import frustum_sample_batched
+    from mmmot_tpu.tracker import TrackingModule
+
+    def step(weights, state_d, image, cloud, boxes, det_mask, proj):
+        mod = TrackingModule(net, weights, assoc_cfg)
+        crops = crop_and_resize_batched(
+            image.astype(jnp.float32)[None], boxes[None], crop,
+            det_mask[None], method="mxu")[0]
+        crops = normalize_crops(crops, scale=1.0 / 255.0)
+        pts, pmask = frustum_sample_batched(
+            cloud[None], boxes[None], proj, point_len,
+            det_mask=det_mask[None])
+        feats = mod.extract(crops, pts[0], pmask[0], det_mask)
+        if mod.spatial_gating:
+            feats["box"] = boxes.astype(jnp.float32)
+        new_state, out = mod.step_from_feats(_state_from_dict(state_d),
+                                             feats, det_mask)
+        return (_state_to_dict(new_state), out["ids"],
+                out.get("det_score", jnp.zeros(det_mask.shape, jnp.float32)))
+
+    return step
+
+
+def _fresh_state(module, N: int):
+    """Zero TrackerState with feats cast to the module's compute dtype
+    (box coordinates stay f32 — see tracker.init_state)."""
+    import jax.numpy as jnp
+
+    ts = module.init_state(N)
+    cdt = (jnp.bfloat16
+           if module.net.cfg.compute_dtype == "bfloat16" else jnp.float32)
+    return ts._replace(
+        feats={k: (v if k == "box" else v.astype(cdt))
+               for k, v in ts.feats.items()})
+
+
+def export_serve_step(cfg, variables, image_hw: Tuple[int, int],
+                      cloud_points: int,
+                      platforms: Tuple[str, ...] = ("cpu", "tpu")):
+    """Trace + lower the serving step for ``platforms`` (no device of the
+    target platform required — that is the point of AOT export).
+
+    Returns ``(jax.export.Exported, state0)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+
+    net = model_entry(cfg.model)
+    module = TrackingModule(net, variables, cfg.assoc)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    H, W = image_hw
+    step = _build_step(net, cfg.assoc, crop, P)
+
+    state0 = _fresh_state(module, N)
+    aval = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)  # noqa: E731
+    in_avals = (
+        jax.tree.map(aval, variables),
+        jax.tree.map(aval, _state_to_dict(state0)),
+        jax.ShapeDtypeStruct((H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((cloud_points, 4), jnp.float32),
+        jax.ShapeDtypeStruct((N, 4), jnp.float32),
+        jax.ShapeDtypeStruct((N,), jnp.bool_),
+        jax.ShapeDtypeStruct((3, 4), jnp.float32),
+    )
+    exported = jax.export.export(jax.jit(step), platforms=list(platforms))(
+        *in_avals)
+    return exported, state0
+
+
+def save_artifact(out_dir: str, exported, variables, state0, cfg,
+                  image_hw: Tuple[int, int], cloud_points: int) -> None:
+    """Write the four-file artifact directory (see module docstring)."""
+    import importlib.metadata
+
+    import jax
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_PROGRAM), "wb") as fh:
+        fh.write(exported.serialize())
+    np.savez(os.path.join(out_dir, ARTIFACT_WEIGHTS),
+             **_flatten_to_npz(variables))
+    np.savez(os.path.join(out_dir, ARTIFACT_STATE0),
+             **_flatten_to_npz(_state_to_dict(state0)))
+    try:
+        pkg_version = importlib.metadata.version("mmmot-tpu")
+    except importlib.metadata.PackageNotFoundError:
+        pkg_version = "source"
+    manifest = {
+        "format": 1,
+        "program": ARTIFACT_PROGRAM,
+        "weights": ARTIFACT_WEIGHTS,
+        "state0": ARTIFACT_STATE0,
+        "weights_structure": _skeleton(variables),
+        "state0_structure": _skeleton(_state_to_dict(state0)),
+        "platforms": list(exported.platforms),
+        "config": cfg.name,
+        "image_hw": list(image_hw),
+        "cloud_points": int(cloud_points),
+        "max_dets": int(cfg.data.max_dets),
+        "point_len": int(cfg.data.point_len),
+        "crop_size": list(cfg.data.crop_size),
+        "jax_version": jax.__version__,
+        "mmmot_tpu_version": pkg_version,
+    }
+    with open(os.path.join(out_dir, ARTIFACT_MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+
+class DeployedTracker:
+    """Run an exported artifact — no model code, flax, or config needed.
+
+    >>> trk = DeployedTracker.load("artifact_dir/")
+    >>> ids = trk.step(image, cloud, boxes, proj)   # per frame, in order
+    >>> trk.reset()                                 # drop all tracks
+    """
+
+    def __init__(self, exported, weights, state0, manifest: Dict):
+        import jax
+
+        self.manifest = manifest
+        self._weights = weights
+        self._state0 = state0
+        self._state = state0
+        # jit the exported call so repeat dispatch is cached; the inner
+        # program is NOT retraced or recompiled from Python — the StableHLO
+        # bytes are the program.
+        self._call = jax.jit(exported.call)
+        self.frame_idx = 0
+
+    @classmethod
+    def load(cls, path: str) -> "DeployedTracker":
+        import jax
+        import numpy as np
+
+        with open(os.path.join(path, ARTIFACT_MANIFEST)) as fh:
+            manifest = json.load(fh)
+        with open(os.path.join(path, manifest["program"]), "rb") as fh:
+            exported = jax.export.deserialize(bytearray(fh.read()))
+        weights = _fill_from_npz(
+            manifest["weights_structure"],
+            np.load(os.path.join(path, manifest["weights"])))
+        state0 = _fill_from_npz(
+            manifest["state0_structure"],
+            np.load(os.path.join(path, manifest["state0"])))
+        return cls(exported, weights, state0, manifest)
+
+    def reset(self) -> None:
+        self._state = self._state0
+        self.frame_idx = 0
+
+    def step(self, image, cloud, boxes, proj,
+             scores: Optional[Any] = None):
+        """Track one frame; returns (ids[n], det_score[n]) for the n input
+        boxes (n <= manifest max_dets; inputs are padded internally)."""
+        import numpy as np
+
+        N = self.manifest["max_dets"]
+        boxes = np.asarray(boxes, np.float32)
+        n = len(boxes)
+        if n > N:
+            raise ValueError(f"{n} detections > max_dets {N}")
+        boxes_p = np.zeros((N, 4), np.float32)
+        boxes_p[:n] = boxes
+        det_mask = np.zeros((N,), bool)
+        det_mask[:n] = True
+        M = self.manifest["cloud_points"]
+        cloud = np.asarray(cloud, np.float32)
+        if cloud.shape[0] < M:   # pad at z=0 (behind camera: never sampled)
+            cloud = np.concatenate(
+                [cloud, np.zeros((M - cloud.shape[0],) + cloud.shape[1:],
+                                 np.float32)])
+        elif cloud.shape[0] > M:
+            raise ValueError(f"cloud {cloud.shape[0]} points > manifest {M}")
+        self._state, ids, det_score = self._call(
+            self._weights, self._state,
+            np.asarray(image, np.uint8), cloud, boxes_p, det_mask,
+            np.asarray(proj, np.float32))
+        self.frame_idx += 1
+        return (np.asarray(ids)[:n].tolist(),
+                np.asarray(det_score, np.float32)[:n].tolist())

@@ -387,3 +387,47 @@ def test_revival_window_streams_through_runner(kitti_tree, tmp_path):
     # Oracle dets, contiguous tracks: revival must not change the perfect
     # recall/precision outcome.
     assert stats["metrics"].recall == 1.0
+
+
+def test_submission_zip_packaging(kitti_tree, tmp_path):
+    """--submission-zip packages the tracked sequences' result txts (and
+    only them: devkit side-products and sweep dirs are excluded) in the
+    KITTI server layout — <seq>.txt at the archive root."""
+    import zipfile
+
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_io import package_submission
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["name"] = "tiny_kitti_submit"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    zip_path = str(tmp_path / "submit" / "tracking.zip")
+    # --no-eval: the KITTI test split ships no GT, exactly this flow.
+    main(["--config", cfg_path, "--cpu", "--window", "2", "--no-eval",
+          "--result-path", str(tmp_path / "results"),
+          "--submission-zip", zip_path])
+    res_dir = tmp_path / "results" / "tiny_kitti_submit" / "latest"
+    with zipfile.ZipFile(zip_path) as zf:
+        assert sorted(zf.namelist()) == ["0000.txt", "0001.txt"]
+        for name in zf.namelist():
+            assert zf.read(name) == (res_dir / name).read_bytes()
+
+    # Exclusion rules: devkit summaries / HOTA files / sweep dirs never
+    # leak into a submission.
+    (res_dir / "summary_car.txt").write_text("devkit summary\n")
+    (res_dir / "hota_car.txt").write_text("hota\n")
+    (res_dir / "thr_0.3").mkdir()
+    (res_dir / "thr_0.3" / "0000.txt").write_text("sweep\n")
+    names = package_submission(str(res_dir), str(tmp_path / "again.zip"))
+    assert names == ["0000.txt", "0001.txt"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        package_submission(str(tmp_path), str(tmp_path / "empty.zip"))

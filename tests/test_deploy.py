@@ -1,0 +1,190 @@
+"""AOT deployment artifacts (mmmot_tpu/deploy.py, jax.export).
+
+The exported StableHLO serve-step must reproduce the live TrackingModule
+path bit-for-bit, survive a disk round-trip into a fresh loader that never
+touches model code, and drive the serve CLI end-to-end (--exported)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mmmot_tpu.config import load_config
+
+CFG_PATH = "experiments/tiny_debug/config.yaml"
+H, W, M = 64, 96, 300
+
+
+def _scene(rng, n_frames=4, n_dets=3):
+    """Dets drifting right by 2px/frame — stable IDs under any tracker."""
+    proj = np.array([[50.0, 0, W / 2, 0], [0, 50.0, H / 2, 0],
+                     [0, 0, 1, 0]], np.float32)
+    frames = []
+    for t in range(n_frames):
+        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        cloud = np.zeros((M, 4), np.float32)
+        cloud[:, 0] = rng.uniform(-8, 8, M)
+        cloud[:, 1] = rng.uniform(-2, 2, M)
+        cloud[:, 2] = rng.uniform(2, 30, M)
+        boxes = np.stack([
+            np.array([4 + 2 * t + 20 * i, 8 + 6 * i,
+                      20 + 2 * t + 20 * i, 28 + 6 * i], np.float32)
+            for i in range(n_dets)])
+        frames.append({"image": img, "cloud": cloud, "boxes": boxes,
+                       "proj": proj})
+    return frames
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory, rng):
+    """Export tiny_debug (random init, CPU platform) once per module."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.deploy import export_serve_step, save_artifact
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.train import create_train_state
+
+    cfg = load_config(CFG_PATH)
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    dummy = {"crops": jnp.zeros((1, 2, N) + crop + (3,)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, jax.random.PRNGKey(7), dummy)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    exported, state0 = export_serve_step(cfg, variables, (H, W), M,
+                                         platforms=("cpu",))
+    out = str(tmp_path_factory.mktemp("artifact"))
+    save_artifact(out, exported, variables, state0, cfg, (H, W), M)
+    return {"dir": out, "cfg": cfg, "net": net, "variables": variables,
+            "exported": exported, "state0": state0}
+
+
+def _live_ids(art, frames):
+    """Reference trajectory: the SAME serve-step math run live (traced in
+    this process, never serialized) — what cli/serve.py executes."""
+    import jax
+
+    from mmmot_tpu.deploy import (_build_step, _fresh_state, _state_to_dict)
+    from mmmot_tpu.tracker import TrackingModule
+
+    cfg = art["cfg"]
+    module = TrackingModule(art["net"], art["variables"], cfg.assoc)
+    N = cfg.data.max_dets
+    step = jax.jit(_build_step(art["net"], cfg.assoc,
+                               tuple(cfg.data.crop_size),
+                               cfg.data.point_len))
+    state_d = _state_to_dict(_fresh_state(module, N))
+    all_ids = []
+    for fr in frames:
+        n = len(fr["boxes"])
+        boxes = np.zeros((N, 4), np.float32)
+        boxes[:n] = fr["boxes"]
+        mask = np.zeros((N,), bool)
+        mask[:n] = True
+        state_d, ids, _ = step(art["variables"], state_d, fr["image"],
+                               fr["cloud"], boxes, mask, fr["proj"])
+        all_ids.append(np.asarray(ids)[:n].tolist())
+    return all_ids
+
+
+def test_artifact_layout(artifact):
+    d = artifact["dir"]
+    names = set(os.listdir(d))
+    assert {"serve_step.stablehlo", "weights.npz", "state0.npz",
+            "manifest.json"} <= names
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    assert man["platforms"] == ["cpu"]
+    assert man["image_hw"] == [H, W] and man["cloud_points"] == M
+    assert man["max_dets"] == artifact["cfg"].data.max_dets
+    # the program is real StableHLO bytes, not a pickle of Python objects
+    assert os.path.getsize(os.path.join(d, "serve_step.stablehlo")) > 1000
+
+
+def test_deployed_matches_live_module(artifact, rng):
+    """Loader path (deserialize + npz weights, zero model code) tracks the
+    same scene to the same IDs as the live module."""
+    from mmmot_tpu.deploy import DeployedTracker
+
+    frames = _scene(rng)
+    live = _live_ids(artifact, frames)
+    trk = DeployedTracker.load(artifact["dir"])
+    got = [trk.step(f["image"], f["cloud"], f["boxes"], f["proj"])[0]
+           for f in frames]
+    assert got == live
+    # ids are valid and unique per frame (random-init weights don't link
+    # reliably across frames — identity to the live path is the real check)
+    for frame_ids in got:
+        assert all(i >= 0 for i in frame_ids)
+        assert len(set(frame_ids)) == len(frame_ids)
+
+
+def test_deployed_reset_and_padding(artifact, rng):
+    from mmmot_tpu.deploy import DeployedTracker
+
+    frames = _scene(rng, n_frames=2, n_dets=2)
+    trk = DeployedTracker.load(artifact["dir"])
+    first = trk.step(frames[0]["image"], frames[0]["cloud"],
+                     frames[0]["boxes"], frames[0]["proj"])[0]
+    assert len(first) == 2 and trk.frame_idx == 1
+    trk.reset()
+    assert trk.frame_idx == 0
+    again = trk.step(frames[0]["image"], frames[0]["cloud"],
+                     frames[0]["boxes"], frames[0]["proj"])[0]
+    assert again == first          # reset really drops all track state
+    # a shorter cloud is padded to the manifest size, never truncated
+    short = frames[1]["cloud"][: M // 2]
+    ids = trk.step(frames[1]["image"], short, frames[1]["boxes"],
+                   frames[1]["proj"])[0]
+    assert len(ids) == 2
+    with pytest.raises(ValueError):
+        trk.step(frames[0]["image"], frames[0]["cloud"],
+                 np.zeros((artifact["cfg"].data.max_dets + 1, 4),
+                          np.float32), frames[0]["proj"])
+
+
+def test_export_cli_and_serve_exported(tmp_path, rng):
+    """mmmot-export writes an artifact the serve CLI runs with --exported:
+    full NDJSON protocol (ready/track/reset/quit) without --config."""
+    from mmmot_tpu.cli.export import main as export_main
+
+    out = str(tmp_path / "artifact")
+    export_main(["--config", CFG_PATH, "--out", out, "--cpu",
+                 "--shape", f"{H}x{W}x{M}", "--platforms", "cpu"])
+    frames = _scene(rng, n_frames=2)
+    for t, fr in enumerate(frames):
+        np.savez(tmp_path / f"f{t}.npz", **fr)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mmmot_tpu.cli.serve",
+         "--exported", out, "--cpu", "--warmup"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        env=dict(os.environ))
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] is True and ready["exported"] is True
+        assert "warmup_secs" in ready
+
+        def rpc(obj):
+            proc.stdin.write(json.dumps(obj) + "\n")
+            proc.stdin.flush()
+            return json.loads(proc.stdout.readline())
+
+        r0 = rpc({"npz": str(tmp_path / "f0.npz")})
+        assert r0["frame"] == 0 and len(r0["ids"]) == 3
+        r1 = rpc({"npz": str(tmp_path / "f1.npz")})
+        assert r1["frame"] == 1 and len(r1["ids"]) == 3
+        assert rpc({"cmd": "reset"})["ok"] is True
+        r2 = rpc({"npz": str(tmp_path / "f0.npz")})
+        assert r2["frame"] == 0 and r2["ids"] == r0["ids"]
+        assert rpc({"cmd": "quit"})["ok"] is True
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=120)
+    assert proc.returncode == 0
