@@ -59,9 +59,10 @@ S = int(os.environ.get("MMMOT_BENCH_S", 8))
 # carried across windows so any window length yields identical results).
 # With the workload generated ON DEVICE the old T=64 optimum turned out to
 # be a host-generation artifact; re-swept on-chip: T=64: 415.6, 128: 430.0,
-# 256: 445.0, 512: 454.6 FPS.  Default 256 — past that returns diminish and
-# windows stop matching real KITTI sequence lengths (~200-1100 frames).
-T = int(os.environ.get("MMMOT_BENCH_T", 256))
+# 256: 445.4, 512: 454.6 FPS.  Default 512 — the knee of the sweep, still
+# inside real KITTI sequence lengths (~200-1100 frames); past it returns
+# diminish while the workload HBM footprint keeps doubling.
+T = int(os.environ.get("MMMOT_BENCH_T", 512))
 N = int(os.environ.get("MMMOT_BENCH_N", 32))
 P = int(os.environ.get("MMMOT_BENCH_P", 512))
 H, W, M = 384, 1248, 16384
