@@ -29,7 +29,11 @@ def parse_args(argv=None):
                         "(static under XLA; KITTI default)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets; no device of "
-                        "the target platform is required")
+                        "the target platform is required.  The fused "
+                        "Pallas affinity kernel is baked in only for a "
+                        "tpu-ONLY export (it has no CPU lowering); "
+                        "multi-platform artifacts use the XLA affinity "
+                        "modules (identical results)")
     p.add_argument("--cpu", action="store_true",
                    help="run the exporting process itself on CPU")
     return p.parse_args(argv)

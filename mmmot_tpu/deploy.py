@@ -51,6 +51,12 @@ ARTIFACT_MANIFEST = "manifest.json"
 _SEP = "//"  # pytree-path separator inside npz keys (flax uses plain '/')
 
 
+def _pallas_ok(model_cfg) -> bool:
+    from mmmot_tpu.kernels import pallas_supported
+
+    return pallas_supported(model_cfg)
+
+
 def _flatten_to_npz(tree) -> Dict[str, Any]:
     """Flatten a nested-dict pytree to {path: array} with _SEP-joined keys."""
     import jax
@@ -120,7 +126,8 @@ def _state_from_dict(d):
                         missed=d.get("missed"))
 
 
-def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int):
+def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
+                use_pallas: Optional[bool] = None):
     """The per-frame serving step (same math as cli/serve.py's step_fn),
     with dict-pytree state I/O so the exported calling convention is
     framework-agnostic."""
@@ -132,7 +139,8 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int):
     from mmmot_tpu.tracker import TrackingModule
 
     def step(weights, state_d, image, cloud, boxes, det_mask, proj):
-        mod = TrackingModule(net, weights, assoc_cfg)
+        mod = TrackingModule(net, weights, assoc_cfg,
+                             use_pallas_affinity=use_pallas)
         crops = crop_and_resize_batched(
             image.astype(jnp.float32)[None], boxes[None], crop,
             det_mask[None], method="mxu")[0]
@@ -170,20 +178,29 @@ def export_serve_step(cfg, variables, image_hw: Tuple[int, int],
     """Trace + lower the serving step for ``platforms`` (no device of the
     target platform required — that is the point of AOT export).
 
+    The fused Pallas affinity kernel only lowers for the TPU platform, so
+    it is enabled exactly when ``platforms == ("tpu",)`` (and covered by
+    the config); multi-platform artifacts use the XLA affinity modules
+    (identical results — tested in test_pallas_kernel.py).
+
     Returns ``(jax.export.Exported, state0)``.
     """
     import jax
     import jax.numpy as jnp
 
+    from mmmot_tpu.kernels import pallas_supported
     from mmmot_tpu.models import model_entry
     from mmmot_tpu.tracker import TrackingModule
 
     net = model_entry(cfg.model)
-    module = TrackingModule(net, variables, cfg.assoc)
+    use_pallas = (tuple(platforms) == ("tpu",)
+                  and pallas_supported(cfg.model))
+    module = TrackingModule(net, variables, cfg.assoc,
+                            use_pallas_affinity=use_pallas)
     N, P = cfg.data.max_dets, cfg.data.point_len
     crop = tuple(cfg.data.crop_size)
     H, W = image_hw
-    step = _build_step(net, cfg.assoc, crop, P)
+    step = _build_step(net, cfg.assoc, crop, P, use_pallas=use_pallas)
 
     state0 = _fresh_state(module, N)
     aval = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)  # noqa: E731
@@ -236,6 +253,9 @@ def save_artifact(out_dir: str, exported, variables, state0, cfg,
         "crop_size": list(cfg.data.crop_size),
         "jax_version": jax.__version__,
         "mmmot_tpu_version": pkg_version,
+        # mirrors export_serve_step's kernel-selection rule
+        "pallas_affinity": bool(tuple(exported.platforms) == ("tpu",)
+                                and _pallas_ok(cfg.model)),
     }
     with open(os.path.join(out_dir, ARTIFACT_MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=2)
@@ -253,9 +273,12 @@ class DeployedTracker:
         import jax
 
         self.manifest = manifest
-        self._weights = weights
-        self._state0 = state0
-        self._state = state0
+        # Ship weights/state once at load: numpy pytrees passed to a jitted
+        # call re-transfer host->device on EVERY step (~tens of MB/frame
+        # for the flagship VGG trunk).
+        self._weights = jax.device_put(weights)
+        self._state0 = jax.device_put(state0)
+        self._state = self._state0
         # jit the exported call so repeat dispatch is cached; the inner
         # program is NOT retraced or recompiled from Python — the StableHLO
         # bytes are the program.
