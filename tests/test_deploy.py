@@ -188,3 +188,47 @@ def test_export_cli_and_serve_exported(tmp_path, rng):
         proc.stdin.close()
         proc.wait(timeout=120)
     assert proc.returncode == 0
+
+
+def test_export_cli_with_checkpoint(tmp_path, rng):
+    """--load-path: the artifact carries the TRAINED weights, not the
+    random init (closing the checkpoint -> deployment flow end-to-end)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.cli.export import main as export_main
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.train import create_train_state
+    from mmmot_tpu.train.checkpoint import save_checkpoint
+
+    cfg = load_config(CFG_PATH)
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    dummy = {"crops": jnp.zeros((1, 2, N) + crop + (3,)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, jax.random.PRNGKey(3), dummy)
+    # perturb params so the ckpt is distinguishable from ANY seed's init
+    state = state.replace(
+        params=jax.tree.map(lambda p: p + 0.125, state.params))
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, step=1)
+
+    out = str(tmp_path / "artifact")
+    export_main(["--config", CFG_PATH, "--out", out, "--cpu",
+                 "--load-path", ckpt_dir,
+                 "--shape", f"{H}x{W}x{M}", "--platforms", "cpu"])
+
+    flat = np.load(os.path.join(out, "weights.npz"))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    stored = [flat[k] for k in flat.files if k.startswith("params")]
+    # every trained param leaf appears bit-exactly in the artifact
+    matched = 0
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if any(s.shape == arr.shape and np.array_equal(s, arr)
+               for s in stored):
+            matched += 1
+    assert matched == len(leaves)
