@@ -47,6 +47,10 @@ def parse_args(argv=None):
                    help="simulate a failed sensor on the real pipeline "
                         "(fusion keeps per-modality branches live — the "
                         "reference's robustness story)")
+    p.add_argument("--packed-cache", action="store_true",
+                   help="persist packed sequences to <root>/.packed/ and "
+                        "memmap them on later runs (skips PNG/velodyne "
+                        "decode — repeat evals start at device speed)")
     p.add_argument("--submission-zip", default=None, metavar="ZIP",
                    help="after tracking real-KITTI sequences, package the "
                         "result txts as a KITTI tracking-benchmark "
@@ -86,11 +90,14 @@ def main(argv=None):
     log = create_logger("mmmot.track")
 
     cfg = load_config(args.config)
-    if args.solver:
-        import dataclasses
+    import dataclasses
 
+    if args.solver:
         cfg = cfg.replace(assoc=dataclasses.replace(cfg.assoc,
                                                     solver=args.solver))
+    if args.packed_cache:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   packed_cache=True))
     net = model_entry(cfg.model)
     N, P, crop = cfg.data.max_dets, cfg.data.point_len, cfg.data.crop_size
 

@@ -178,6 +178,10 @@ class DataConfig:
                                        # box coverage even for >M scans,
                                        # and far fewer host->device bytes.
                                        # none: raw scan truncated to M.
+    packed_cache: bool = False         # persist packed whole sequences to
+                                       # <root>/.packed/ and memmap them on
+                                       # later runs (skips PNG/velodyne
+                                       # decode; data/packed_cache.py)
 
     def __post_init__(self):
         if self.track_class not in ("Car", "Pedestrian", "Cyclist"):

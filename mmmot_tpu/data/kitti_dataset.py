@@ -141,6 +141,18 @@ class KittiTrackingDataset:
     def load_sequence(self, seq: str, start: int = 0,
                       max_frames: Optional[int] = None) -> SequenceArrays:
         cfg = self.cfg
+        # Persistent packed cache (data/packed_cache.py): whole-sequence
+        # loads skip PNG/velodyne decode entirely on a hit and memmap the
+        # packed arrays instead (training pairs sample random offsets and
+        # are never cached).
+        use_cache = cfg.packed_cache and start == 0 and max_frames is None
+        if use_cache:
+            from mmmot_tpu.data import packed_cache
+
+            n_frames = len(self._frames(seq))
+            cached = packed_cache.load(self, seq, n_frames)
+            if cached is not None:
+                return cached
         N = cfg.max_dets
         frames = self._frames(seq)[start:]
         if max_frames is not None:
@@ -228,7 +240,7 @@ class KittiTrackingDataset:
             clouds[t, :len(pc)] = pc
             cloud_valid[t, :len(pc)] = True
 
-        return SequenceArrays(images=images, clouds=clouds,
+        arrs = SequenceArrays(images=images, clouds=clouds,
                               cloud_valid=cloud_valid, boxes=boxes,
                               det_mask=det_mask, scores=scores,
                               gt_ids=gt_ids,
@@ -237,6 +249,9 @@ class KittiTrackingDataset:
                               boxes3d=boxes3d, has_3d=has_3d,
                               velo_to_rect=calib.velo_to_rect_matrix()
                               .astype(np.float32))
+        if use_cache:
+            packed_cache.save(self, seq, n_frames, arrs)
+        return arrs
 
     # ------------------------------------------------------------------
     def training_pairs(self, seq: str, rng: np.random.Generator,
