@@ -34,6 +34,15 @@ def parse_args(argv=None):
                         "tpu-ONLY export (it has no CPU lowering); "
                         "multi-platform artifacts use the XLA affinity "
                         "modules (identical results)")
+    p.add_argument("--window", type=int, default=None, metavar="W",
+                   help="export the WINDOW program instead of the "
+                        "per-frame serve step: one call tracks W frames "
+                        "of raw inputs through the compact-first "
+                        "streaming pipeline and returns the carried "
+                        "state (chain calls for any sequence length)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="compact-first extraction capacity for --window "
+                        "(default W * max_dets — every slot)")
     p.add_argument("--cpu", action="store_true",
                    help="run the exporting process itself on CPU")
     return p.parse_args(argv)
@@ -53,7 +62,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from mmmot_tpu.config import load_config
-    from mmmot_tpu.deploy import export_serve_step, save_artifact
+    from mmmot_tpu.deploy import (export_serve_step, export_window_step,
+                                  save_artifact)
     from mmmot_tpu.models import model_entry
     from mmmot_tpu.train import create_train_state
     from mmmot_tpu.train.checkpoint import restore_checkpoint
@@ -74,10 +84,23 @@ def main(argv=None):
         state = restore_checkpoint(args.load_path, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    exported, state0 = export_serve_step(
-        cfg, variables, (h, w), m, platforms=platforms)
-    save_artifact(args.out, exported, variables, state0, cfg, (h, w), m)
-    print(f"exported {cfg.name} serve step ({'/'.join(platforms)}, "
+    if args.window:
+        exported, state0 = export_window_step(
+            cfg, variables, args.window, (h, w), m,
+            capacity=args.capacity, platforms=platforms)
+        save_artifact(args.out, exported, variables, state0, cfg, (h, w),
+                      m, kind="window",
+                      extra={"window": args.window,
+                             "capacity": (args.capacity
+                                          or args.window * N)})
+        what = f"window({args.window}) step"
+    else:
+        exported, state0 = export_serve_step(
+            cfg, variables, (h, w), m, platforms=platforms)
+        save_artifact(args.out, exported, variables, state0, cfg, (h, w),
+                      m)
+        what = "serve step"
+    print(f"exported {cfg.name} {what} ({'/'.join(platforms)}, "
           f"image {h}x{w}, cloud {m}, N={N}) -> {args.out}")
 
 

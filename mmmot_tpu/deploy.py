@@ -218,8 +218,76 @@ def export_serve_step(cfg, variables, image_hw: Tuple[int, int],
     return exported, state0
 
 
+def export_window_step(cfg, variables, window: int,
+                       image_hw: Tuple[int, int], cloud_points: int,
+                       capacity: Optional[int] = None,
+                       crop_window: int = 512, chunk: int = 32,
+                       platforms: Tuple[str, ...] = ("cpu", "tpu")):
+    """AOT-export the WINDOW program: one call tracks ``window`` frames of
+    raw inputs through the full compact-first streaming pipeline
+    (tracker/sequence.py::track_sequence_from_frames) and returns per-frame
+    ids/det scores plus the carried TrackerState — chain calls to stream
+    sequences of any length, exactly like tracker/kitti_runner.py does
+    live.  Signature (static shapes; W = window):
+
+        (weights, state, images [W,H,Wd,3] u8, clouds [W,M,4] f32,
+         cloud_valid [W,M] bool, boxes [W,N,4] f32, det_mask [W,N] bool,
+         proj [3,4] f32)  ->  (state', ids [W,N] i32, det_score [W,N] f32)
+
+    Same Pallas-kernel rule as :func:`export_serve_step` (tpu-only exports
+    bake the fused kernel).  ``capacity`` bounds the compact-first
+    extraction (default: every slot, ``window * max_dets``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.kernels import pallas_supported
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.sequence import track_sequence_from_frames
+
+    net = model_entry(cfg.model)
+    use_pallas = (tuple(platforms) == ("tpu",)
+                  and pallas_supported(cfg.model))
+    module = TrackingModule(net, variables, cfg.assoc,
+                            use_pallas_affinity=use_pallas)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    H, W = image_hw
+    capacity = capacity if capacity is not None else window * N
+
+    def win(weights, state_d, images, clouds, cloud_valid, boxes,
+            det_mask, proj):
+        mod = TrackingModule(net, weights, cfg.assoc,
+                             use_pallas_affinity=use_pallas)
+        out, final = track_sequence_from_frames(
+            mod, images, clouds, boxes, det_mask, proj, crop, P,
+            cloud_valid=cloud_valid, compact_capacity=capacity,
+            extract_chunk=chunk, state0=_state_from_dict(state_d),
+            return_state=True, crop_window=crop_window,
+            point_source=cfg.data.point_source)
+        return _state_to_dict(final), out["ids"], out["det_score"]
+
+    state0 = _fresh_state(module, N)
+    aval = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)  # noqa: E731
+    in_avals = (
+        jax.tree.map(aval, variables),
+        jax.tree.map(aval, _state_to_dict(state0)),
+        jax.ShapeDtypeStruct((window, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((window, cloud_points, 4), jnp.float32),
+        jax.ShapeDtypeStruct((window, cloud_points), jnp.bool_),
+        jax.ShapeDtypeStruct((window, N, 4), jnp.float32),
+        jax.ShapeDtypeStruct((window, N), jnp.bool_),
+        jax.ShapeDtypeStruct((3, 4), jnp.float32),
+    )
+    exported = jax.export.export(jax.jit(win), platforms=list(platforms))(
+        *in_avals)
+    return exported, state0
+
+
 def save_artifact(out_dir: str, exported, variables, state0, cfg,
-                  image_hw: Tuple[int, int], cloud_points: int) -> None:
+                  image_hw: Tuple[int, int], cloud_points: int,
+                  kind: str = "serve_step",
+                  extra: Optional[Dict] = None) -> None:
     """Write the four-file artifact directory (see module docstring)."""
     import importlib.metadata
 
@@ -239,6 +307,7 @@ def save_artifact(out_dir: str, exported, variables, state0, cfg,
         pkg_version = "source"
     manifest = {
         "format": 1,
+        "kind": kind,
         "program": ARTIFACT_PROGRAM,
         "weights": ARTIFACT_WEIGHTS,
         "state0": ARTIFACT_STATE0,
@@ -253,10 +322,12 @@ def save_artifact(out_dir: str, exported, variables, state0, cfg,
         "crop_size": list(cfg.data.crop_size),
         "jax_version": jax.__version__,
         "mmmot_tpu_version": pkg_version,
-        # mirrors export_serve_step's kernel-selection rule
+        # mirrors the exporters' kernel-selection rule
         "pallas_affinity": bool(tuple(exported.platforms) == ("tpu",)
                                 and _pallas_ok(cfg.model)),
     }
+    if extra:
+        manifest.update(extra)
     with open(os.path.join(out_dir, ARTIFACT_MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=2)
 
@@ -292,6 +363,12 @@ class DeployedTracker:
 
         with open(os.path.join(path, ARTIFACT_MANIFEST)) as fh:
             manifest = json.load(fh)
+        kind = manifest.get("kind", "serve_step")
+        if kind != "serve_step":
+            raise ValueError(
+                f"DeployedTracker serves per-frame 'serve_step' artifacts; "
+                f"{path!r} is kind {kind!r} (drive a window artifact via "
+                f"jax.export.deserialize + .call, shapes in its manifest)")
         with open(os.path.join(path, manifest["program"]), "rb") as fh:
             exported = jax.export.deserialize(bytearray(fh.read()))
         weights = _fill_from_npz(

@@ -133,7 +133,10 @@ def main():
 
     def run(tag, assoc, det_source="noisy", score_sweep=None):
         module = TrackingModule(net, variables, assoc)
-        data_cfg = dataclasses.replace(cfg.data, det_source=det_source)
+        # packed_cache: the FP-policy comparison tracks the same held-out
+        # sequence repeatedly — decode its PNGs once, memmap after.
+        data_cfg = dataclasses.replace(cfg.data, det_source=det_source,
+                                       packed_cache=True)
         stats = track_kitti_sequences(
             module, data_cfg, os.path.join("results", "real_noisy", tag),
             sequences=[val_seq], window=64,

@@ -232,3 +232,87 @@ def test_export_cli_with_checkpoint(tmp_path, rng):
                for s in stored):
             matched += 1
     assert matched == len(leaves)
+
+
+def test_window_export_matches_live_and_chains(tmp_path, rng):
+    """The exported WINDOW program equals the live streaming pipeline per
+    window, and chaining its carried state across two windows equals one
+    live pass over the full sequence (the kitti_runner streaming
+    contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.deploy import (_fresh_state, _state_from_dict,
+                                  _state_to_dict, export_window_step,
+                                  save_artifact)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.sequence import track_sequence_from_frames
+    from mmmot_tpu.train import create_train_state
+
+    cfg = load_config(CFG_PATH)
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    dummy = {"crops": jnp.zeros((1, 2, N) + crop + (3,)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, jax.random.PRNGKey(5), dummy)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    Wn = 3                                 # window length; sequence = 2*Wn
+    frames = _scene(rng, n_frames=2 * Wn, n_dets=3)
+    images = np.stack([f["image"] for f in frames])
+    clouds = np.stack([f["cloud"] for f in frames])
+    cloud_valid = np.ones((2 * Wn, M), bool)
+    boxes = np.zeros((2 * Wn, N, 4), np.float32)
+    det_mask = np.zeros((2 * Wn, N), bool)
+    for t, f in enumerate(frames):
+        boxes[t, :3] = f["boxes"]
+        det_mask[t, :3] = True
+    proj = frames[0]["proj"]
+
+    exported, state0 = export_window_step(cfg, variables, Wn, (H, W), M,
+                                          platforms=("cpu",))
+    out_dir = str(tmp_path / "win_artifact")
+    save_artifact(out_dir, exported, variables, state0, cfg, (H, W), M,
+                  kind="window", extra={"window": Wn, "capacity": Wn * N})
+    man = json.load(open(os.path.join(out_dir, "manifest.json")))
+    assert man["kind"] == "window" and man["window"] == Wn
+
+    # live single pass over the whole sequence (same capacity => same
+    # compaction layout as the two chained windows' per-window capacity)
+    module = TrackingModule(net, variables, cfg.assoc)
+    jimages, jclouds, jboxes, jmask = (jnp.asarray(images),
+                                       jnp.asarray(clouds),
+                                       jnp.asarray(boxes),
+                                       jnp.asarray(det_mask))
+    live, _ = jax.jit(lambda v, s: track_sequence_from_frames(
+        TrackingModule(net, v, cfg.assoc), jimages, jclouds, jboxes, jmask,
+        proj, crop, P, cloud_valid=jnp.asarray(cloud_valid),
+        compact_capacity=Wn * N, extract_chunk=32,
+        state0=_state_from_dict(s), return_state=True,
+        crop_window=512))(variables, _state_to_dict(_fresh_state(module,
+                                                                 N)))
+    live_ids = np.asarray(live["ids"])
+
+    # chained exported windows
+    call = jax.jit(exported.call)
+    st = _state_to_dict(_fresh_state(module, N))
+    got = []
+    for w0 in (0, Wn):
+        st, ids, _scores = call(variables, st, images[w0:w0 + Wn],
+                                clouds[w0:w0 + Wn],
+                                cloud_valid[w0:w0 + Wn],
+                                boxes[w0:w0 + Wn], det_mask[w0:w0 + Wn],
+                                proj)
+        got.append(np.asarray(ids))
+    got = np.concatenate(got)
+    assert np.array_equal(got[det_mask], live_ids[det_mask])
+
+    # the per-frame loader refuses window artifacts with a pointed error
+    from mmmot_tpu.deploy import DeployedTracker
+
+    with pytest.raises(ValueError, match="window"):
+        DeployedTracker.load(out_dir)
