@@ -83,13 +83,32 @@ class KittiTrackingDataset:
         return sorted(f for f in os.listdir(d) if f.endswith(".png"))
 
     def _load_image(self, seq: str, fname: str) -> np.ndarray:
+        src = os.path.join(self.root, "image_02", seq, fname)
+        # Frame-level decode cache (cfg.packed_cache): training pairs
+        # sample random offsets, so the whole-sequence cache never serves
+        # them — each pair re-decodes its PNGs.  Cache the decoded frame
+        # as .npy keyed by the source's size+mtime (stale entries are
+        # simply never hit again).  PNG decode is the training loop's
+        # dominant host cost on few-core machines.
+        cpath = None
+        if self.cfg.packed_cache:
+            st = os.stat(src)
+            cdir = os.path.join(self.root, ".packed", "frames", seq)
+            cpath = os.path.join(
+                cdir, f"{fname}-{st.st_size}-{st.st_mtime_ns}.npy")
+            if os.path.exists(cpath):
+                return np.load(cpath, mmap_mode="r")
         from PIL import Image
 
-        img = np.asarray(Image.open(
-            os.path.join(self.root, "image_02", seq, fname)).convert("RGB"))
+        img = np.asarray(Image.open(src).convert("RGB"))
         out = np.zeros((IMG_H, IMG_W, 3), np.uint8)
         h, w = min(img.shape[0], IMG_H), min(img.shape[1], IMG_W)
         out[:h, :w] = img[:h, :w]
+        if cpath is not None:
+            os.makedirs(os.path.dirname(cpath), exist_ok=True)
+            tmp = f"{cpath}.tmp-{os.getpid()}.npy"
+            np.save(tmp, out)
+            os.replace(tmp, cpath)
         return out
 
     def _load_cloud(self, seq: str, frame: str) -> np.ndarray:

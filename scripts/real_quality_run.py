@@ -84,7 +84,10 @@ def main():
         else flagship()
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, root=args.root,
-                                 det_source="noisy"),
+                                 det_source="noisy",
+                                 # decode each PNG once across the train
+                                 # epochs AND the six tracking passes
+                                 packed_cache=True),
         train=dataclasses.replace(
             cfg.train, epochs=args.epochs, batch_size=4,
             lr=3e-4, lr_schedule="cosine", warmup_steps=100,
@@ -133,10 +136,7 @@ def main():
 
     def run(tag, assoc, det_source="noisy", score_sweep=None):
         module = TrackingModule(net, variables, assoc)
-        # packed_cache: the FP-policy comparison tracks the same held-out
-        # sequence repeatedly — decode its PNGs once, memmap after.
-        data_cfg = dataclasses.replace(cfg.data, det_source=det_source,
-                                       packed_cache=True)
+        data_cfg = dataclasses.replace(cfg.data, det_source=det_source)
         stats = track_kitti_sequences(
             module, data_cfg, os.path.join("results", "real_noisy", tag),
             sequences=[val_seq], window=64,

@@ -30,7 +30,7 @@ def test_pack_roundtrip_and_memmap(tmp_path):
     ds = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
     fresh = ds.load_sequence("0000")          # packs + persists
     packed_dir = os.path.join(root, ".packed")
-    entries = os.listdir(packed_dir)
+    entries = [e for e in os.listdir(packed_dir) if e != "frames"]
     assert len(entries) == 1 and entries[0].startswith("0000-")
 
     ds2 = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
@@ -41,7 +41,7 @@ def test_pack_roundtrip_and_memmap(tmp_path):
         a, b = getattr(fresh, f), getattr(cached, f)
         assert np.array_equal(np.asarray(a), np.asarray(b)), f
     # hit did not write a second entry
-    assert os.listdir(packed_dir) == entries
+    assert [e for e in os.listdir(packed_dir) if e != "frames"] == entries
 
 
 def test_regenerated_detections_invalidate(tmp_path):
@@ -61,16 +61,20 @@ def test_regenerated_detections_invalidate(tmp_path):
     after = ds2.load_sequence("0000")
     assert not np.array_equal(before.det_mask, after.det_mask), \
         "stale cache served after detections changed"
-    assert len(os.listdir(os.path.join(root, ".packed"))) == 2
+    assert len([e for e in os.listdir(os.path.join(root, ".packed"))
+                if e != "frames"]) == 2
 
 
-def test_training_pairs_never_cached(tmp_path):
+def test_training_pairs_never_sequence_cached(tmp_path):
+    """Pair loads (random offsets) must not mint whole-sequence entries —
+    only the frame-level decode cache."""
     root = build_kitti_tree(tmp_path)
     ds = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
     rng = np.random.default_rng(0)
     for _ in ds.training_pairs("0000", rng, num_pairs=3):
         pass
-    assert not os.path.isdir(os.path.join(root, ".packed"))
+    entries = os.listdir(os.path.join(root, ".packed"))
+    assert entries == ["frames"]
 
 
 def test_cli_packed_cache_identical_results(tmp_path):
@@ -97,3 +101,37 @@ def test_cli_packed_cache_identical_results(tmp_path):
     warm = run("warm", "--packed-cache")     # memmap hit
     assert cold == plain and warm == plain
     assert os.path.isdir(os.path.join(root, ".packed"))
+
+
+def test_frame_decode_cache_for_training_pairs(tmp_path):
+    """Training pairs (random offsets) use the FRAME-level decode cache:
+    identical pixels, one .npy per decoded frame, stale source re-keys."""
+    root = build_kitti_tree(tmp_path)
+    ds = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
+    rng = np.random.default_rng(1)
+    fresh = [p.images.copy() for p in ds.training_pairs("0000", rng, 3)]
+    fdir = os.path.join(root, ".packed", "frames", "0000")
+    assert os.path.isdir(fdir) and len(os.listdir(fdir)) >= 2
+
+    ds2 = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
+    rng2 = np.random.default_rng(1)
+    hit = [p.images.copy() for p in ds2.training_pairs("0000", rng2, 3)]
+    for a, b in zip(fresh, hit):
+        assert np.array_equal(a, b)
+
+    # whole-sequence cache still untouched by pair loads
+    assert all(e == "frames"
+               for e in os.listdir(os.path.join(root, ".packed")))
+
+    # a re-encoded source frame gets its own cache entry (stale never hit)
+    from PIL import Image
+
+    f0 = os.path.join(root, "image_02", "0000", "000000.png")
+    img = np.asarray(Image.open(f0)).copy()
+    img[:8] = 255
+    Image.fromarray(img).save(f0)
+    os.utime(f0, ns=(2, 2))
+    ds3 = KittiTrackingDataset(_cfg(root), max_cloud_points=256)
+    arr = ds3.load_sequence("0000", start=0, max_frames=1)
+    # only the real 48x96 frame area — the padded canvas stays zero
+    assert (np.asarray(arr.images[0, :8, :96]) == 255).all()
