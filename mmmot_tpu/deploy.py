@@ -12,7 +12,9 @@ and written to disk next to its weights.  A serving process (or a C++ XLA
 runtime) can then run the tracker without the model zoo, flax, or any of
 this package's model code: load, feed arrays, read track IDs.
 
-Artifact layout (one directory):
+Artifact layout (one directory; ``manifest.json``'s ``kind`` is
+``serve_step`` for the per-frame program or ``window`` for the W-frame
+streaming program from :func:`export_window_step`):
 
     serve_step.stablehlo   jax.export serialization of the step program
     weights.npz            model variables, one entry per pytree path
@@ -39,9 +41,9 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["export_serve_step", "save_artifact", "DeployedTracker",
-           "ARTIFACT_PROGRAM", "ARTIFACT_WEIGHTS", "ARTIFACT_STATE0",
-           "ARTIFACT_MANIFEST"]
+__all__ = ["export_serve_step", "export_window_step", "save_artifact",
+           "DeployedTracker", "ARTIFACT_PROGRAM", "ARTIFACT_WEIGHTS",
+           "ARTIFACT_STATE0", "ARTIFACT_MANIFEST"]
 
 ARTIFACT_PROGRAM = "serve_step.stablehlo"
 ARTIFACT_WEIGHTS = "weights.npz"
@@ -153,8 +155,7 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
             feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(_state_from_dict(state_d),
                                              feats, det_mask)
-        return (_state_to_dict(new_state), out["ids"],
-                out.get("det_score", jnp.zeros(det_mask.shape, jnp.float32)))
+        return _state_to_dict(new_state), out["ids"], out["det_score"]
 
     return step
 
@@ -188,13 +189,11 @@ def export_serve_step(cfg, variables, image_hw: Tuple[int, int],
     import jax
     import jax.numpy as jnp
 
-    from mmmot_tpu.kernels import pallas_supported
     from mmmot_tpu.models import model_entry
     from mmmot_tpu.tracker import TrackingModule
 
     net = model_entry(cfg.model)
-    use_pallas = (tuple(platforms) == ("tpu",)
-                  and pallas_supported(cfg.model))
+    use_pallas = tuple(platforms) == ("tpu",) and _pallas_ok(cfg.model)
     module = TrackingModule(net, variables, cfg.assoc,
                             use_pallas_affinity=use_pallas)
     N, P = cfg.data.max_dets, cfg.data.point_len
@@ -240,14 +239,12 @@ def export_window_step(cfg, variables, window: int,
     import jax
     import jax.numpy as jnp
 
-    from mmmot_tpu.kernels import pallas_supported
     from mmmot_tpu.models import model_entry
     from mmmot_tpu.tracker import TrackingModule
     from mmmot_tpu.tracker.sequence import track_sequence_from_frames
 
     net = model_entry(cfg.model)
-    use_pallas = (tuple(platforms) == ("tpu",)
-                  and pallas_supported(cfg.model))
+    use_pallas = tuple(platforms) == ("tpu",) and _pallas_ok(cfg.model)
     module = TrackingModule(net, variables, cfg.assoc,
                             use_pallas_affinity=use_pallas)
     N, P = cfg.data.max_dets, cfg.data.point_len
