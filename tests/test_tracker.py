@@ -420,3 +420,92 @@ def test_revival_window_recovers_id_after_gap():
 
     # Outputs stay [T, N]; padded slots -1 throughout.
     assert ids2.shape == (T, Ns) and (ids2[:, 1:] == -1).all()
+
+
+def test_windowed_streaming_invariance_across_configs():
+    """THE streaming contract: chaining the window program with carried
+    TrackerState equals one whole-sequence pass — bit-equal ids — under
+    every association configuration the runner ships (plain / y_det
+    hybrid / revival ghosts / spatial gate / sinkhorn), not just the
+    flagship point."""
+    from mmmot_tpu.config import (AffinityConfig, AppearanceConfig,
+                                  FusionConfig, ModelConfig, NewEndConfig,
+                                  PointConfig)
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence_from_frames
+
+    cfg = ModelConfig(
+        appearance=AppearanceConfig(depth=11, crop_size=(32, 32),
+                                    reduction_dim=16, out_dim=32,
+                                    width_mult=0.0625),
+        point=PointConfig(point_len=8, channels=(16, 32), out_dim=32),
+        fusion=FusionConfig(variant="C", out_dim=32),
+        affinity=AffinityConfig(hidden_dim=16),
+        new_end=NewEndConfig(hidden_dim=16),
+    )
+    net = model_entry(cfg)
+    T, Ns, P, H, W = 6, 4, 8, 48, 96
+    key = jax.random.PRNGKey(3)
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        key, batch)
+
+    rng = np.random.default_rng(17)
+    images = jnp.asarray(rng.integers(0, 255, (T, H, W, 3)), jnp.uint8)
+    clouds = np.zeros((T, 64, 4), np.float32)
+    clouds[..., 0] = rng.uniform(-10, 10, (T, 64))
+    clouds[..., 1] = rng.uniform(-2, 2, (T, 64))
+    clouds[..., 2] = rng.uniform(2, 30, (T, 64))
+    clouds = jnp.asarray(clouds)
+    proj = jnp.asarray([[50.0, 0, W / 2, 0], [0, 50.0, H / 2, 0],
+                        [0, 0, 1, 0]], jnp.float32)
+    # drifting boxes with a dropout gap so revival/gate paths act
+    boxes = np.zeros((T, Ns, 4), np.float32)
+    det_mask = np.zeros((T, Ns), bool)
+    for t in range(T):
+        for i in range(3):
+            if i == 1 and t in (2, 3):     # track 1 drops for 2 frames
+                continue
+            x = 6 + 3 * t + 22 * i
+            boxes[t, i] = [x, 10 + 5 * i, x + 18, 30 + 5 * i]
+            det_mask[t, i] = True
+    boxes = jnp.asarray(boxes)
+    det_mask = jnp.asarray(det_mask)
+
+    variants = [
+        AssocConfig(solver="auction"),
+        AssocConfig(solver="auction", use_det_scores=True,
+                    raw_new_end=True),
+        AssocConfig(solver="auction", revival_window=2),
+        AssocConfig(solver="auction", revival_window=2, iou_weight=1.0,
+                    iou_gate=0.05),
+        AssocConfig(solver="sinkhorn"),
+    ]
+    for acfg in variants:
+        module = TrackingModule(net, vars_, acfg)
+
+        def run(im, cl, bx, dm, state0=None):
+            cap = im.shape[0] * Ns          # every slot fits (no drops)
+            fn = jax.jit(lambda i, c, b, d, s: track_sequence_from_frames(
+                module, i, c, b, d, proj, (32, 32), P,
+                compact_capacity=cap, extract_chunk=4, crop_window=64,
+                state0=s, return_state=True))
+            out, final = fn(im, cl, bx, dm, state0)
+            assert int(out["n_dropped"]) == 0
+            return out, final
+
+        whole, _ = run(images, clouds, boxes, det_mask,
+                       module.init_state(Ns))
+        st = module.init_state(Ns)
+        chunks = []
+        for w0 in (0, 3):
+            out, st = run(images[w0:w0 + 3], clouds[w0:w0 + 3],
+                          boxes[w0:w0 + 3], det_mask[w0:w0 + 3], st)
+            chunks.append(np.asarray(out["ids"]))
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(
+            got, np.asarray(whole["ids"]),
+            err_msg=f"windowed != whole for {acfg}")
