@@ -76,13 +76,19 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
             score = float(np.clip(rng.normal(0.88, 0.06) - 0.5 * jnorm,
                                   0.05, 1.0))
             dets.append(KittiObject(
-                frame=o.frame, track_id=0, obj_type="Car", bbox=box,
+                frame=o.frame, track_id=0, obj_type=o.obj_type, bbox=box,
                 dimensions=o.dimensions, location=o.location,
                 rotation_y=o.rotation_y, score=score))
+    classes = sorted({o.obj_type for o in objs}) or ["Car"]
     for t in range(T):
         for _ in range(rng.poisson(fp_rate)):
-            w = rng.uniform(40, 160)
-            h = rng.uniform(30, 80)
+            cls = classes[int(rng.integers(len(classes)))]
+            if cls == "Pedestrian":
+                w = rng.uniform(18, 45)
+                h = rng.uniform(45, 90)
+            else:
+                w = rng.uniform(40, 160)
+                h = rng.uniform(30, 80)
             anchors = by_frame.get(t, [])
             if anchors and rng.random() < 0.3:
                 # Overlapping-FP: offset ~half a box from a real track, so
@@ -101,7 +107,7 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
                 continue
             score = float(np.clip(rng.normal(0.45, 0.15), 0.05, 1.0))
             dets.append(KittiObject(
-                frame=t, track_id=0, obj_type="Car", bbox=box,
+                frame=t, track_id=0, obj_type=cls, bbox=box,
                 dimensions=np.array([1.6, 1.8, 4.2]),
                 location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
                 rotation_y=0.0, score=score))
@@ -111,7 +117,11 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
     return dets
 
 
-def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True):
+def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0):
+    """``pedestrians`` adds that many Pedestrian tracks per sequence
+    (smaller, slower boxes; distinct track-id range) — multi-class trees
+    for ``track_class`` runs.  Default 0 keeps existing trees and their
+    packed-cache keys byte-identical."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -121,13 +131,18 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
         os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
         os.makedirs(os.path.join(root, "calib"), exist_ok=True)
-        # tracks: 16 cars moving linearly; ~12 visible per frame
-        n_tracks = 16
+        # tracks: 16 cars moving linearly (~12 visible/frame), plus
+        # optional pedestrians (narrow, tall, slow, id range 100+)
+        n_cars = 16
+        n_tracks = n_cars + pedestrians
         x0 = rng.uniform(50, W - 200, n_tracks)
         y0 = rng.uniform(120, 260, n_tracks)
-        vx = rng.uniform(-2.5, 2.5, n_tracks)
-        bw = rng.uniform(60, 180, n_tracks)
-        bh = rng.uniform(40, 80, n_tracks)
+        vx = np.concatenate([rng.uniform(-2.5, 2.5, n_cars),
+                             rng.uniform(-0.8, 0.8, pedestrians)])
+        bw = np.concatenate([rng.uniform(60, 180, n_cars),
+                             rng.uniform(22, 45, pedestrians)])
+        bh = np.concatenate([rng.uniform(40, 80, n_cars),
+                             rng.uniform(55, 95, pedestrians)])
         color = rng.integers(40, 255, (n_tracks, 3))
         stripe = rng.integers(6, 24, n_tracks)      # texture frequency
         depth = rng.uniform(8, 60, n_tracks)        # LiDAR cluster depth
@@ -172,10 +187,13 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True):
                     [np.full(400, d, np.float32), y_v.astype(np.float32),
                      z_v.astype(np.float32),
                      np.full(400, (k + 1) / n_tracks, np.float32)], axis=1))
+                is_ped = k >= n_cars
                 objs.append(KittiObject(
-                    frame=t, track_id=k, obj_type="Car",
+                    frame=t, track_id=(100 + k - n_cars) if is_ped else k,
+                    obj_type="Pedestrian" if is_ped else "Car",
                     bbox=np.array([l, tp, l + bw[k], tp + bh[k]]),
-                    dimensions=np.array([1.6, 1.8, 4.2]),
+                    dimensions=(np.array([1.8, 0.6, 0.8]) if is_ped
+                                else np.array([1.6, 1.8, 4.2])),
                     location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
                     rotation_y=0.0))
             pc = np.concatenate(pc_parts).astype(np.float32)

@@ -122,3 +122,36 @@ def test_noisy_tree_tracking_fp_policies(tree):
     ms, mr = stats["sweep"][0.97], ref["metrics"]
     assert (ms.mota, ms.motp, ms.id_switches, ms.tp, ms.fp, ms.fn) == \
         (mr.mota, mr.motp, mr.id_switches, mr.tp, mr.fp, mr.fn)
+
+
+def test_multiclass_tree_generation(tmp_path):
+    """``pedestrians=K`` adds Pedestrian tracks (distinct id range, ped-
+    sized boxes) and the noisy detector preserves classes — the multi-class
+    ``track_class`` runs depend on both."""
+    root = str(tmp_path / "kitti_mc")
+    build_tree(root, n_seqs=1, T=16, seed=5, pedestrians=4)
+    gt = read_kitti_tracking_labels(
+        os.path.join(root, "label_02", "0000.txt"))
+    gt_all = [o for objs in gt.values() for o in objs]
+    cars = [o for o in gt_all if o.obj_type == "Car"]
+    peds = [o for o in gt_all if o.obj_type == "Pedestrian"]
+    assert cars and peds
+    assert {o.track_id for o in peds} <= set(range(100, 104))
+    assert all(o.track_id < 100 for o in cars)
+    for o in peds:      # ped boxes are narrow and tall
+        w, h = o.bbox[2] - o.bbox[0], o.bbox[3] - o.bbox[1]
+        assert w <= 46 and h >= 20 and h > 0.9 * w
+
+    dets = read_kitti_tracking_labels(
+        os.path.join(root, "detections", "noisy", "0000.txt"))
+    det_all = [o for objs in dets.values() for o in objs]
+    det_cls = {o.obj_type for o in det_all}
+    assert det_cls == {"Car", "Pedestrian"}
+    # detector TPs keep their GT's class: every high-score ped det must
+    # overlap a ped GT box (class never flips through the noise)
+    for d in det_all:
+        if d.obj_type != "Pedestrian" or (d.score or 0) < 0.75:
+            continue
+        assert any(_iou(d.bbox, g.bbox) > 0.3
+                   for g in gt.get(d.frame, [])
+                   if g.obj_type == "Pedestrian")
