@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--steps-per-epoch", type=int, default=40)
     ap.add_argument("--out", default="results/multiclass.json")
+    ap.add_argument("--det-source", default="oracle",
+                    help="oracle (GT boxes) or noisy (the simulated "
+                         "detector, class-preserving); with noisy the "
+                         "full mitigation stack is used (y_det LP "
+                         "rejection + revival_window=2 + spatial gate, "
+                         "as in scripts/real_quality_run.py)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -72,11 +78,20 @@ def main():
     seq_names = [f"{i:04d}" for i in range(args.seqs)]
     train_seqs, val_seq = seq_names[:-1], seq_names[-1]
 
+    noisy = args.det_source == "noisy"
+    assoc = base.assoc
+    if noisy:
+        assoc = dataclasses.replace(
+            assoc, use_det_scores=True, raw_new_end=True,
+            revival_window=2, iou_weight=1.0, iou_gate=0.1)
+
     results = {}
     for cls in ("Car", "Pedestrian"):
         cfg = base.replace(
+            assoc=assoc,
             data=dataclasses.replace(base.data, root=args.root,
-                                     track_class=cls, packed_cache=True),
+                                     track_class=cls, packed_cache=True,
+                                     det_source=args.det_source),
             train=dataclasses.replace(
                 base.train, epochs=args.epochs, batch_size=4, lr=3e-4,
                 lr_schedule="cosine", warmup_steps=60,
@@ -114,7 +129,7 @@ def main():
             cfg.assoc)
         stats = track_kitti_sequences(
             module, cfg.data, os.path.join("results", "multiclass",
-                                           cls.lower()),
+                                           args.det_source, cls.lower()),
             sequences=[val_seq], window=64, evaluate=True)
         m = stats["metrics"]
         row = {"mota": round(float(m.mota), 4),
@@ -129,23 +144,34 @@ def main():
         print(f"[{cls}] {row}", flush=True)
         results[cls] = row
 
-    doc = {
+    section = {
         "what": "Per-class multi-class workflow at flagship scale on the "
                 "REAL streaming path: fabricated tree with 16 Car + 6 "
-                "Pedestrian tracks/sequence, oracle detections, one short "
-                "training per data.track_class, devkit+HOTA scoring of "
-                "the held-out sequence per class.",
+                "Pedestrian tracks/sequence, one short training per "
+                "data.track_class, devkit+HOTA scoring of the held-out "
+                "sequence per class."
+                + (" NOISY detections with the full mitigation stack "
+                   "(y_det + revival_window=2 + spatial gate)."
+                   if noisy else " Oracle detections."),
         "command": (f"python scripts/multiclass_run.py --epochs "
                     f"{args.epochs} --steps-per-epoch "
-                    f"{args.steps_per_epoch}"),
+                    f"{args.steps_per_epoch} --det-source "
+                    f"{args.det_source}"),
         "tiny": args.tiny,
         "val_sequence": val_seq,
         "classes": results,
     }
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            doc = json.load(fh)
+    if "classes" in doc:        # pre-section format: it was the oracle run
+        doc = {"oracle": doc}
+    doc[args.det_source] = section
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(doc, fh, indent=2)
-    print(f"wrote {args.out}", flush=True)
+    print(f"wrote {args.out} [{args.det_source}]", flush=True)
 
 
 if __name__ == "__main__":
