@@ -75,6 +75,9 @@ CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 32)) or None
 CROP_WINDOW = int(os.environ.get("MMMOT_BENCH_CROP_WINDOW", 0))
 # Reference-faithful full-ILP mode: y_det vars in the LP, sequential scan.
 DET_MODE = os.environ.get("MMMOT_BENCH_DET", "") not in ("", "0")
+# Int8-quantized appearance trunk (models/quantize.py): PTQ design point —
+# the MXU runs int8 at 2x bf16, and the conv stack is ~85% of this pipeline.
+INT8_MODE = os.environ.get("MMMOT_BENCH_INT8", "") not in ("", "0")
 # Debug/smoke runs off-TPU ("" and "0" both mean the normal TPU path).
 CPU_MODE = os.environ.get("MMMOT_BENCH_CPU", "") not in ("", "0")
 N_RUNS = int(os.environ.get("MMMOT_BENCH_RUNS", 3))
@@ -202,6 +205,21 @@ def main():
         jax.block_until_ready(variables)
         hb("model_init", f"params inited on device (compact={compact})")
 
+    if INT8_MODE:
+        # Calibrate on crops drawn from the same distribution the pipeline
+        # feeds the trunk (uniform uint8 -> ImageNet normalisation), then
+        # swap the int8 trunk in via the quant_int8 variables collection.
+        from mmmot_tpu.models.quantize import with_int8_appearance
+        from mmmot_tpu.ops.crop_resize import normalize_crops
+
+        calib = normalize_crops(jax.random.bits(
+            jax.random.PRNGKey(7), (64, CROP, CROP, 3), jnp.uint8))
+        variables = with_int8_appearance(variables, cfg.model.appearance,
+                                         calib)
+        jax.block_until_ready(variables)
+        hb("int8", "appearance trunk quantized "
+                   "(per-channel int8 weights, calibrated activations)")
+
     # MMMOT_BENCH_PALLAS: "1" force the fused affinity kernel, "0" force
     # the XLA modules, unset = auto (kernel ON for the TPU backend).
     pal = os.environ.get("MMMOT_BENCH_PALLAS")
@@ -316,6 +334,7 @@ def main():
             "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
                        "compact": compact, "chunk": CHUNK,
                        "crop_window": crop_window, "det_mode": DET_MODE,
+                       "int8": INT8_MODE,
                        "pallas_affinity": module.use_pallas_affinity,
                        "dropped_dets": dropped, "devices": n_dev,
                        "aggregate_fps": round(fps, 2),

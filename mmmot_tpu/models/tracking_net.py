@@ -110,6 +110,18 @@ class TrackingNet(nn.Module):
                                         train=train)
         return self.fusion(img_feat, lidar_feat, det_mask)
 
+    def extract_given_image(self, img_feat, points, point_mask, det_mask, *,
+                            train: bool = False) -> Dict[str, jnp.ndarray]:
+        """``extract`` with the image embedding precomputed OUTSIDE the
+        module — the int8 quantized trunk (models/quantize.py) produces
+        ``img_feat`` and only PointNet + fusion run as flax."""
+        c = self.cfg
+        lidar_feat = None
+        if c.use_lidar and points is not None:
+            lidar_feat = self.point_net(points, point_mask, det_mask,
+                                        train=train)
+        return self.fusion(img_feat, lidar_feat, det_mask)
+
     # ---- affinity between two frames -----------------------------------
     def affinity_link(self, feats_prev: Dict[str, jnp.ndarray],
                       feats_curr: Dict[str, jnp.ndarray],

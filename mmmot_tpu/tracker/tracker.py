@@ -185,6 +185,25 @@ class TrackingModule:
                 or self.assoc_cfg.iou_weight != 0.0)
 
     def extract(self, crops, points, point_mask, det_mask):
+        if "quant_int8" in self.variables:
+            # Int8-quantized appearance trunk (models/quantize.py): the
+            # quant pytree rides the variables dict, so jitted window
+            # programs need no extra plumbing.  Only the image branch
+            # changes; PointNet + fusion stay the ordinary flax path.
+            from mmmot_tpu.models.quantize import quantized_appearance_apply
+            from mmmot_tpu.models.tracking_net import _dtype
+
+            quant = self.variables["quant_int8"]
+            variables = {k: v for k, v in self.variables.items()
+                         if k != "quant_int8"}
+            img_feat = None
+            if self.net.cfg.use_image and crops is not None:
+                img_feat = quantized_appearance_apply(
+                    quant, variables, self.net.cfg.appearance, crops,
+                    det_mask, dtype=_dtype(self.net.cfg.compute_dtype))
+            return self.net.apply(variables, img_feat, points, point_mask,
+                                  det_mask, train=False,
+                                  method=self.net.extract_given_image)
         return self.net.apply(self.variables, crops, points, point_mask,
                               det_mask, train=False, method=self.net.extract)
 
