@@ -75,6 +75,13 @@ CHUNK = int(os.environ.get("MMMOT_BENCH_CHUNK", 32)) or None
 CROP_WINDOW = int(os.environ.get("MMMOT_BENCH_CROP_WINDOW", 0))
 # Reference-faithful full-ILP mode: y_det vars in the LP, sequential scan.
 DET_MODE = os.environ.get("MMMOT_BENCH_DET", "") not in ("", "0")
+# Quality-stack knobs (the noisy-regime winner is y_det + revival_window=2
+# + spatial gate — results/real_tree_quality.json): K ghost slots / IoU
+# gate+prior on the link scores.  Both ride the ghost-pool hybrid pre-solve
+# (tracker/sequence.py::_revival_track), so the banded affinity still runs
+# as big batched matmuls and only gathers + heads + the LP stay sequential.
+REVIVAL = int(os.environ.get("MMMOT_BENCH_REVIVAL", 0))
+GATE_MODE = os.environ.get("MMMOT_BENCH_GATE", "") not in ("", "0")
 # Int8-quantized appearance trunk (models/quantize.py): PTQ design point —
 # the MXU runs int8 at 2x bf16, and the conv stack is ~85% of this pipeline.
 INT8_MODE = os.environ.get("MMMOT_BENCH_INT8", "") not in ("", "0")
@@ -148,6 +155,12 @@ def main():
         assoc = dataclasses.replace(assoc, solver=solver)
     if DET_MODE:
         assoc = dataclasses.replace(assoc, use_det_scores=True)
+    if REVIVAL:
+        assoc = dataclasses.replace(assoc, revival_window=REVIVAL)
+    if GATE_MODE:
+        # The quality stack's published operating point
+        # (scripts/real_quality_run.py: ydet_revival_gate).
+        assoc = dataclasses.replace(assoc, iou_weight=1.0, iou_gate=0.1)
     cfg = cfg.replace(assoc=assoc)
     net = model_entry(cfg.model)
 
@@ -206,9 +219,12 @@ def main():
         hb("model_init", f"params inited on device (compact={compact})")
 
     if INT8_MODE:
-        # Calibrate on crops drawn from the same distribution the pipeline
-        # feeds the trunk (uniform uint8 -> ImageNet normalisation), then
-        # swap the int8 trunk in via the quant_int8 variables collection.
+        # Calibrate on crops drawn from the same distribution THIS BENCH
+        # feeds the trunk (uniform uint8 -> ImageNet normalisation).  That
+        # is representative for throughput only: real detection crops have
+        # very different activation statistics, so never reuse abs-max
+        # scales from here for accuracy claims — quality runs calibrate on
+        # real crops (scripts/real_quality_run.py --int8, tests likewise).
         from mmmot_tpu.models.quantize import with_int8_appearance
         from mmmot_tpu.ops.crop_resize import normalize_crops
 
@@ -334,6 +350,7 @@ def main():
             "config": {"crop": CROP, "point_len": P, "S": S, "T": T, "N": N,
                        "compact": compact, "chunk": CHUNK,
                        "crop_window": crop_window, "det_mode": DET_MODE,
+                       "revival_window": REVIVAL, "iou_gate": GATE_MODE,
                        "int8": INT8_MODE,
                        "pallas_affinity": module.use_pallas_affinity,
                        "dropped_dets": dropped, "devices": n_dev,

@@ -45,8 +45,11 @@ from jax import lax
 
 from mmmot_tpu.config import AppearanceConfig
 from mmmot_tpu.models.appearance import VGG_PLANS
+from mmmot_tpu.models.layers import MaskedBatchNorm
 
-_BN_EPS = 1e-5  # MaskedBatchNorm default (models/layers.py)
+# BN folding must use the exact eps the float path normalises with, or the
+# int8 trunk silently diverges from AppearanceNet if the layer default moves.
+_BN_EPS = MaskedBatchNorm.eps
 
 _DN = lax.conv_dimension_numbers((1, 8, 8, 8), (3, 3, 8, 8),
                                  ("NHWC", "HWIO", "NHWC"))
@@ -61,7 +64,10 @@ def _folded_trunk(variables, cfg: AppearanceConfig) -> List[tuple]:
     conv+BN.  Pool positions come from ``VGG_PLANS[cfg.depth]``.
     """
     params = variables["params"]["appear_net"]["backbone"]
-    stats = variables["batch_stats"]["appear_net"]["backbone"]
+    # No-BN configs create no batch_stats subtree at all — only look the
+    # stats up when the fold below will actually read them.
+    stats = (variables["batch_stats"]["appear_net"]["backbone"]
+             if cfg.batch_norm else {})
     convs: List[tuple] = []
     conv_i = 0
     for item in VGG_PLANS[cfg.depth]:

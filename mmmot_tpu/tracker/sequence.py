@@ -159,7 +159,10 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
     if getattr(module, "parallel_assoc", False):
         return _parallel_track(module, feats, det_mask, state0)
-    if module.assoc_cfg.use_det_scores and getattr(
+    if module.assoc_cfg.revival_window:
+        if getattr(module, "hybrid_presolve", True):
+            return _revival_track(module, feats, det_mask, state0)
+    elif module.assoc_cfg.use_det_scores and getattr(
             module, "hybrid_presolve", True):
         return _hybrid_track(module, feats, det_mask, state0)
 
@@ -331,6 +334,189 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     final = TrackerState(
         feats={k: v[-1] for k, v in feats.items()},
         mask=mask_last, ids=ids_last, ages=ages_last, next_id=next_id)
+    return {"ids": ids, "det_score": det_score}, final
+
+
+def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
+                   det_mask, state0):
+    """Hybrid pre-solve for the ghost-pool revival mode (revival_window K).
+
+    The carried state's CONTENT is decision-dependent (which tracks survive
+    as ghosts depends on the matches), which is why the plain parallel
+    pre-solve is unsound here — but every ghost's features are a FROZEN COPY
+    of some earlier frame's detection features.  A ghost alive at frame t
+    has missed m <= K frames, so its source frame is t-1-m in [t-K-1, t-1]:
+    every link score the scan can ever need is one of
+
+        band[d][t] = link(feats[t-d], feats[t]),  d = 1..K+1   (this window)
+        entry[t]   = link(state0.feats, feats[t]), t = 0..K    (carried-in
+                     slots from the previous window, live + ghosts)
+
+    all of which are mask-independent (raw link scores are zeroed at
+    invalid pairs, and masks only ever shrink — the same exactness argument
+    as :func:`_hybrid_track`; requires ``gnn_rounds == 0``, enforced by
+    ``TrackingModule``).  So the K+2 banded affinity computations batch over
+    all T frames (big MXU matmuls / fused-kernel grids), and the scan body
+    carries only per-slot PROVENANCE indices and does cheap gathers, the
+    new/end heads, normalisation and the LP solve.  Results are identical
+    to the fully sequential ``step_from_feats`` scan (tested).
+    """
+    from mmmot_tpu.assoc import associate
+    from mmmot_tpu.models.affinity import normalize_link
+    from mmmot_tpu.ops.masking import pair_mask
+    from mmmot_tpu.tracker.tracker import TrackerState, apply_spatial_gate
+
+    net = module.net
+    cfg = module.assoc_cfg
+    K = cfg.revival_window
+    T, N = det_mask.shape
+    M = state0.mask.shape[-1]
+    G = M - N
+    Dd = K + 1                          # max reach-back of a matchable slot
+    gating = module.spatial_gating
+    use_det = cfg.use_det_scores
+    raw = cfg.raw_new_end
+    w = cfg.det_score_weight
+    cdt = feats["fused"].dtype
+
+    # ---- batched heavy work (optimistic masks) --------------------------
+    bands = []
+    for d in range(1, Dd + 1):
+        if d >= T:
+            bands.append(jnp.zeros((T, N, N), cdt))
+            continue
+        fp = {k: jnp.concatenate([jnp.zeros((d,) + v.shape[1:], v.dtype),
+                                  v[:-d]]) for k, v in feats.items()}
+        mp = jnp.concatenate([jnp.zeros((d, N), bool), det_mask[:-d]])
+        bands.append(module.affinity_link(fp, feats, mp, det_mask))
+    bands = jnp.stack(bands, axis=1)                   # [T, Dd, N, N]
+
+    # Entry band: carried-in slots (prev window's live dets + ghosts) stay
+    # matchable for at most Dd initial frames of this window.
+    E = min(Dd, T)
+
+    def pad_curr(x):
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, G)
+        return jnp.pad(x, widths)
+
+    f0 = {k: jnp.broadcast_to(state0.feats[k][None],
+                              (E,) + state0.feats[k].shape)
+          for k in feats}
+    fcE = {k: pad_curr(v[:E]) for k, v in feats.items()}
+    m0 = jnp.broadcast_to(state0.mask[None], (E, M))
+    mcE = pad_curr(det_mask[:E])
+    entry = module.affinity_link(f0, fcE, m0, mcE)[..., :N]    # [E, M, N]
+    entry_full = jnp.zeros((T, M, N), entry.dtype).at[:E].set(entry)
+    bank = jnp.concatenate([bands.reshape(T, Dd * N, N), entry_full],
+                           axis=1)                     # [T, Dd*N + M, N]
+
+    det_all = net.apply(module.variables, feats["fused"], det_mask,
+                        method=net.det_score)          # [T, N]
+    det0 = net.apply(module.variables, state0.feats["fused"], state0.mask,
+                     method=net.det_score)             # [M]
+
+    # Flat per-slot banks (window slots first, then the M state0 slots):
+    # provenance index src in [0, T*N + M) addresses them all.
+    def flat(x_win, x0):
+        return jnp.concatenate(
+            [x_win.reshape((T * N,) + x_win.shape[2:]),
+             x0.astype(x_win.dtype)])
+
+    ffl = flat(feats["fused"], state0.feats["fused"])
+    dfl = flat(det_all, det0)
+    bfl = flat(feats["box"], state0.feats["box"]) if gating else None
+
+    def _new_end(net, fp, fc, l, mp, mc):
+        return net.new_end(fp, fc, l, mp, mc, train=False)
+
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    arange_n = jnp.arange(N, dtype=jnp.int32)
+
+    def step(carry, x):
+        mask, ids, ages, next_id, missed, src = carry
+        if gating:
+            bank_t, fc_f, det_c, dm, tt, box_t = x
+        else:
+            bank_t, fc_f, det_c, dm, tt = x
+        # Gather this frame's prev-side link rows by provenance.
+        in_win = src < T * N
+        src_k = src % N
+        d = tt - src // N                     # 1..Dd for in-window slots
+        row_idx = jnp.where(in_win, (d - 1) * N + src_k,
+                            Dd * N + (src - T * N))
+        row_idx = jnp.clip(row_idx, 0, bank_t.shape[0] - 1)
+        link_rows = bank_t[row_idx]                        # [M, N]
+        fp_f = ffl[src]                                    # [M, D]
+        dlp = dfl[src]                                     # [M]
+
+        dm_pad = jnp.pad(dm, (0, G))
+        fc_pad = jnp.pad(fc_f, ((0, G), (0, 0)))
+        det_c_pad = jnp.pad(det_c, (0, G))
+        pm = pair_mask(mask, dm_pad)
+        link = jnp.pad(link_rows, ((0, 0), (0, G))) * pm.astype(cdt)
+        link_norm = normalize_link(link, mask, dm_pad,
+                                   net.cfg.affinity.softmax_mode)
+        if gating:
+            link_norm = apply_spatial_gate(
+                link_norm, bfl[src], jnp.pad(box_t, ((0, G), (0, 0))),
+                cfg)
+        new, end = net.apply(module.variables, fp_f, fc_pad, link, mask,
+                             dm_pad, method=_new_end)
+        new_s = new if raw else jax.nn.sigmoid(new)
+        end_s = end if raw else jax.nn.sigmoid(end)
+        if use_det:
+            dec = associate(link_norm, new_s, end_s, mask, dm_pad, cfg,
+                            det_prev=w * dlp.astype(link.dtype),
+                            det_curr=w * det_c_pad.astype(link.dtype))
+            kept = dm_pad & dec.keep_curr
+        else:
+            dec = associate(link_norm, new_s, end_s, mask, dm_pad, cfg)
+            kept = dm_pad
+        # ID / age bookkeeping (tracker.assign_ids, inlined over the carry).
+        linked = dec.match_curr >= 0
+        safe = jnp.maximum(dec.match_curr, 0)
+        inherited = jnp.where(linked, ids[safe], -1)
+        order = jnp.cumsum(dec.is_new.astype(jnp.int32)) - 1
+        ids_curr = jnp.where(dec.is_new, next_id + order, inherited)
+        ids_curr = jnp.where(dm_pad, ids_curr, -1).astype(jnp.int32)
+        matched_age = jnp.where(linked, ages[safe], 0)
+        ages_curr = jnp.where(kept, matched_age + 1, 0).astype(jnp.int32)
+        next_id = next_id + jnp.sum(dec.is_new.astype(jnp.int32))
+        # Ghost pool (tracker._revival_state, provenance instead of feats).
+        matched_prev = dec.match_prev >= 0
+        survive = mask & ~matched_prev & (missed + 1 <= K)
+        score = jnp.where(survive, K + 1 - missed, 0) * (M + 1) - iota_m
+        _, gidx = jax.lax.top_k(score, G)
+        gtaken = survive[gidx]
+        carry2 = (
+            jnp.concatenate([kept[:N], gtaken]),
+            jnp.concatenate([ids_curr[:N],
+                             jnp.where(gtaken, ids[gidx], -1).astype(
+                                 jnp.int32)]),
+            jnp.concatenate([ages_curr[:N], ages[gidx]]),
+            next_id,
+            jnp.concatenate([jnp.zeros((N,), jnp.int32),
+                             jnp.where(gtaken, missed[gidx] + 1, 0).astype(
+                                 jnp.int32)]),
+            jnp.concatenate([tt * N + arange_n, src[gidx]]),
+        )
+        return carry2, (ids_curr[:N], jax.nn.sigmoid(det_c))
+
+    missed0 = (state0.missed if state0.missed is not None
+               else jnp.zeros((M,), jnp.int32))
+    src0 = T * N + jnp.arange(M, dtype=jnp.int32)
+    xs = (bank, feats["fused"], det_all, det_mask,
+          jnp.arange(T, dtype=jnp.int32))
+    if gating:
+        xs = xs + (feats["box"],)
+    (mask_f, ids_f, ages_f, next_id_f, missed_f, src_f), (ids, det_score) = \
+        jax.lax.scan(step, (state0.mask, state0.ids, state0.ages,
+                            state0.next_id, missed0, src0), xs)
+    final = TrackerState(
+        feats={k: flat(feats[k], state0.feats[k])[src_f] for k in feats},
+        mask=mask_f, ids=ids_f, ages=ages_f, next_id=next_id_f,
+        missed=missed_f)
     return {"ids": ids, "det_score": det_score}, final
 
 

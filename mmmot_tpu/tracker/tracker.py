@@ -126,7 +126,7 @@ class TrackingModule:
                  use_pallas_affinity: Optional[bool] = None,
                  parallel_assoc: Optional[bool] = None,
                  pallas_interpret: bool = False,
-                 hybrid_presolve: bool = True):
+                 hybrid_presolve: Optional[bool] = None):
         from mmmot_tpu.kernels import pallas_supported
 
         self.net = net
@@ -163,18 +163,30 @@ class TrackingModule:
                              "use_det_scores (decision-dependent state)")
         # Track revival (ghost pool) makes the carried state CONTENT
         # decision-dependent — which tracks survive as ghosts depends on
-        # the matches — so both batched pre-solves are unsound with it.
-        if self.assoc_cfg.revival_window:
-            if parallel_assoc:
-                raise ValueError("parallel_assoc is unsound with "
-                                 "revival_window (decision-dependent "
-                                 "ghost pool)")
-            hybrid_presolve = False
+        # the matches — so the plain parallel pre-solve is unsound with it.
+        # (The HYBRID pre-solve still works: ghost features are frozen
+        # copies of earlier frames, so sequence.py::_revival_track
+        # precomputes banded link scores and scans over provenance.)
+        if self.assoc_cfg.revival_window and parallel_assoc:
+            raise ValueError("parallel_assoc is unsound with "
+                             "revival_window (decision-dependent "
+                             "ghost pool); hybrid_presolve covers it")
         self.parallel_assoc = parallel_assoc
-        # Hybrid pre-solve for the y_det mode (sequence.py _hybrid_track):
+        # Hybrid pre-solve (sequence.py _hybrid_track / _revival_track):
         # batch the mask-independent correlation matmuls over all pairs,
         # keep only mask-dependent cheap ops + the LP in the scan.
         # Results identical to the fully sequential scan (tested).
+        # UNSOUND with gnn_rounds > 0: message passing attends across the
+        # detections of a frame, so features themselves become mask-
+        # dependent and the optimistic-mask batching diverges from the
+        # sequential scan.  None = auto (on iff sound).
+        if hybrid_presolve is None:
+            hybrid_presolve = net.cfg.affinity.gnn_rounds == 0
+        elif hybrid_presolve and net.cfg.affinity.gnn_rounds:
+            raise ValueError(
+                "hybrid_presolve is unsound with gnn_rounds > 0 "
+                "(message passing makes features mask-dependent); use "
+                "hybrid_presolve=None/False")
         self.hybrid_presolve = hybrid_presolve
 
     @property

@@ -51,3 +51,37 @@ def test_bench_cpu_smoke(tmp_path):
                   "compiled", "warm", "verified", "run"):
         assert stage in rec["config"]["stage_secs"], stage
         assert f"] {stage}" in proc.stderr, stage
+
+
+def test_bench_quality_stack_smoke(tmp_path):
+    """The quality-winning configuration (y_det + revival + gate) must be
+    benchable: MMMOT_BENCH_{DET,REVIVAL,GATE} ride the ghost-pool hybrid
+    pre-solve through the same one-JSON-line contract."""
+    env = dict(os.environ)
+    env.update({
+        "MMMOT_BENCH_CPU": "1",
+        "MMMOT_BENCH_S": "1",
+        "MMMOT_BENCH_T": "6",
+        "MMMOT_BENCH_N": "8",
+        "MMMOT_BENCH_P": "32",
+        "MMMOT_BENCH_CROP": "32",
+        "MMMOT_BENCH_CHUNK": "8",
+        "MMMOT_BENCH_RUNS": "1",
+        "MMMOT_BENCH_DEADLINE": "560",
+        "MMMOT_BENCH_DET": "1",
+        "MMMOT_BENCH_REVIVAL": "2",
+        "MMMOT_BENCH_GATE": "1",
+        "MMMOT_XLA_CACHE": str(tmp_path / "cache"),
+    })
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE json line, got: {lines!r}"
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+    assert rec["config"]["det_mode"] is True
+    assert rec["config"]["revival_window"] == 2
+    assert rec["config"]["iou_gate"] is True
+    assert rec["config"]["dropped_dets"] == 0

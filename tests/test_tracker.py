@@ -368,6 +368,118 @@ def test_hybrid_presolve_matches_sequential_ydet():
             "no rejection happened; raise det_score_weight"
 
 
+def test_revival_hybrid_matches_sequential():
+    """Ghost-pool hybrid pre-solve (sequence.py::_revival_track): banded
+    link precompute + provenance scan must produce EXACTLY the ids of the
+    fully sequential step_from_feats scan, across revival windows, y_det
+    rejection, and the spatial gate — including sequences whose dropout
+    gaps actually create/revive/expire ghosts."""
+    import dataclasses
+
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 8, 6, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    rng = np.random.default_rng(41)
+    # Per-slot persistent signatures so re-appearing detections actually
+    # match their ghost, plus noise so distinct slots stay distinct.
+    sig_c = rng.normal(0, 1, (Ns, 32, 32, 3))
+    sig_p = rng.normal(0, 1, (Ns, P, 4))
+    crops = jnp.asarray((sig_c[None] + rng.normal(0, 0.05,
+                                                  (T, Ns, 32, 32, 3))
+                         ).astype(np.float32))
+    points = jnp.asarray((sig_p[None] + rng.normal(0, 0.05, (T, Ns, P, 4))
+                          ).astype(np.float32))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm_np = rng.random((T, Ns)) < 0.8
+    dm_np[:, 0] = True
+    dm_np[2:4, 0] = False          # 2-frame gap -> ghost + revival at K=2
+    dm_np[1:3, 1] = False          # another gap, different phase
+    dm = jnp.asarray(dm_np)
+    boxes = jnp.asarray(rng.uniform(0, 80, (T, Ns, 2)).repeat(2, axis=-1)
+                        + np.asarray([0.0, 0.0, 20.0, 20.0],
+                                     np.float32)[None, None])
+
+    variants = [
+        AssocConfig(solver="auction", revival_window=1),
+        AssocConfig(solver="auction", revival_window=2),
+        AssocConfig(solver="auction", revival_window=2,
+                    use_det_scores=True, det_score_weight=-1.0,
+                    raw_new_end=True),
+        AssocConfig(solver="auction", revival_window=2, iou_weight=0.5,
+                    iou_gate=0.01),
+    ]
+    for acfg in variants:
+        outs = {}
+        for name, hybrid in (("hybrid", None), ("sequential", False)):
+            m = TrackingModule(net, vars_, acfg, hybrid_presolve=hybrid)
+            if name == "hybrid":
+                assert m.hybrid_presolve, "auto must pick the hybrid path"
+            outs[name] = jax.jit(
+                lambda c, p, q, d, b, m=m: track_sequence(
+                    m, c, p, q, d, boxes=b))(crops, points, pm, dm, boxes)
+        np.testing.assert_array_equal(
+            np.asarray(outs["hybrid"]["ids"]),
+            np.asarray(outs["sequential"]["ids"]), err_msg=str(acfg))
+        np.testing.assert_allclose(
+            np.asarray(outs["hybrid"]["det_score"]),
+            np.asarray(outs["sequential"]["det_score"]), atol=1e-6,
+            err_msg=str(acfg))
+    # The regime is non-trivial: a clean identical-signature dropout (the
+    # construction test_revival_window_recovers_id_after_gap proves against
+    # the sequential path) must revive THROUGH THE HYBRID PATH too.
+    sig = jax.random.normal(jax.random.PRNGKey(5), (32, 32, 3))
+    sigp = jax.random.normal(jax.random.PRNGKey(5), (P, 4))
+    crops1 = jnp.tile(sig[None, None], (T, Ns, 1, 1, 1))
+    points1 = jnp.tile(sigp[None, None], (T, Ns, 1, 1))
+    dm1 = jnp.zeros((T, Ns), bool).at[:, 0].set(
+        jnp.asarray([1, 1, 0, 0, 1, 1, 1, 1], bool))
+    m = TrackingModule(net, vars_, AssocConfig(solver="auction",
+                                               revival_window=2))
+    assert m.hybrid_presolve
+    ids = np.asarray(jax.jit(lambda c, p, q, d: track_sequence(
+        m, c, p, q, d))(crops1, points1, pm, dm1)["ids"])
+    assert ids[1, 0] == ids[4, 0], "hybrid path must revive across the gap"
+
+
+def test_hybrid_presolve_gnn_guard():
+    """gnn_rounds > 0 makes features mask-dependent: explicit
+    hybrid_presolve=True must raise; auto must fall back to sequential."""
+    import dataclasses
+
+    import pytest
+
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+
+    cfg = tiny().model
+    cfg = dataclasses.replace(
+        cfg, affinity=dataclasses.replace(cfg.affinity, gnn_rounds=1))
+    net = model_entry(cfg)
+    batch = {"crops": jnp.zeros((1, 2, 4, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, 4, 16, 4)),
+             "point_mask": jnp.ones((1, 2, 4, 16), bool),
+             "det_mask": jnp.ones((1, 2, 4), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    acfg = AssocConfig(solver="auction", use_det_scores=True)
+    with pytest.raises(ValueError, match="gnn_rounds"):
+        TrackingModule(net, vars_, acfg, hybrid_presolve=True)
+    m = TrackingModule(net, vars_, acfg)
+    assert not m.hybrid_presolve
+
+
 def test_revival_window_recovers_id_after_gap():
     """revival_window K: a detection dropout of <= K frames no longer
     costs an ID switch — the track survives as a ghost and a later match
