@@ -236,9 +236,20 @@ class AssocConfig:
                                        # to K frames: a later detection
                                        # matching a ghost revives its ID —
                                        # detector dropouts stop costing an
-                                       # ID switch.  Forces the sequential
-                                       # scan (ghost pool is
-                                       # decision-dependent state).
+                                       # ID switch.  Runs via the ghost-
+                                       # pool hybrid pre-solve (banded
+                                       # batched affinity; sequence.py
+                                       # _revival_track).
+    ghost_coverage: bool = False       # with revival_window > 0: EMIT a
+                                       # constant-velocity extrapolated box
+                                       # for each ghost while it is missing
+                                       # (<= K frames), so detector dropout
+                                       # bursts stop fragmenting the
+                                       # trajectory (FRAG/FN) — at the cost
+                                       # of an FP per frame whenever the
+                                       # track actually ended.  Requires
+                                       # box-carrying pipelines (raw-frames
+                                       # paths / boxes=...).
 
 
 @dataclass(frozen=True)

@@ -214,6 +214,12 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         ids = [np.full((n_windows * W, N), -1, np.int32) for _ in members]
         det_score = [np.zeros((n_windows * W, N), np.float32)
                      for _ in members]
+        coverage = module.ghost_coverage
+        G = N  # ghost-pool size (state slots = 2N)
+        g_ids = [np.full((n_windows * W, G), -1, np.int32)
+                 for _ in members] if coverage else None
+        g_boxes = [np.zeros((n_windows * W, G, 4), np.float32)
+                   for _ in members] if coverage else None
 
         def squeeze(x):
             return x[0] if S_b == 1 else x
@@ -308,11 +314,18 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 if not (fresh and w == 0):
                     frames_ctd += n_w
                     secs_ctd += dt
+                if coverage:
+                    o_gi = np.asarray(out["ghost_ids"]).reshape(S_b, W, G)
+                    o_gb = np.asarray(out["ghost_boxes"]).reshape(
+                        S_b, W, G, 4)
                 for j, a in enumerate(arrs_l):
                     T = a.det_mask.shape[0]
                     n = min(W, max(0, T - w * W))
                     ids[j][w * W:w * W + n] = o_ids[j][:n]
                     det_score[j][w * W:w * W + n] = o_ds[j][:n]
+                    if coverage:
+                        g_ids[j][w * W:w * W + n] = o_gi[j][:n]
+                        g_boxes[j][w * W:w * W + n] = o_gb[j][:n]
                 n_dropped += int(np.asarray(out["n_dropped"]).sum())
         finally:
             # Unblock a shipper stuck in put() so it exits and its staged
@@ -336,8 +349,10 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             log.info("group %s: %d windows in %.2fs (%d programs)",
                      ",".join(members), n_windows, secs_ctd,
                      len(local_keys))
-        return ([(s, a, i_, d_)
-                 for s, a, i_, d_ in zip(members, arrs_l, ids, det_score)],
+        ghosts = ([(gi, gb) for gi, gb in zip(g_ids, g_boxes)]
+                  if coverage else [None] * len(members))
+        return ([(s, a, i_, d_, gh) for s, a, i_, d_, gh
+                 in zip(members, arrs_l, ids, det_score, ghosts)],
                 frames_ctd, secs_ctd)
 
     cls = data_cfg.track_class.lower()
@@ -367,7 +382,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             results, frames_ctd, secs_ctd = run_group(members, arrs_l)
             total_frames += frames_ctd
             t_total += secs_ctd
-            for seq, arrs, ids, det_score in results:
+            for seq, arrs, ids, det_score, ghosts in results:
                 T = arrs.det_mask.shape[0]
                 keep = arrs.det_mask
                 if score_threshold > 0:
@@ -381,6 +396,20 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     ids[:T], keep, arrs.boxes, scores=arrs.scores,
                     boxes3d=arrs.boxes3d, obj_type=data_cfg.track_class,
                     frame_ids=arrs.frame_ids, has_3d=arrs.has_3d)
+                ghost_objs = []
+                if ghosts is not None:
+                    # Ghost-coverage rows (assoc.ghost_coverage): a track
+                    # missing <= revival_window frames keeps emitting its
+                    # extrapolated box under its own id, so dropout bursts
+                    # stop fragmenting the trajectory.  Ghosts carry no
+                    # detector score; a fixed mid score marks them.
+                    gi, gb = ghosts
+                    ghost_objs = tracker_output_to_objects(
+                        gi[:T], gi[:T] >= 0, gb[:T],
+                        scores=np.full(gi[:T].shape, 0.5, np.float32),
+                        obj_type=data_cfg.track_class,
+                        frame_ids=arrs.frame_ids)
+                    objs = objs + ghost_objs
                 path = os.path.join(res_dir, f"{seq}.txt")
                 write_kitti_result(objs, path)
                 if log:
@@ -399,7 +428,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                         ids[:T], keep & (det_score[:T] >= thr), arrs.boxes,
                         scores=arrs.scores, boxes3d=arrs.boxes3d,
                         obj_type=data_cfg.track_class,
-                        frame_ids=arrs.frame_ids, has_3d=arrs.has_3d),
+                        frame_ids=arrs.frame_ids, has_3d=arrs.has_3d)
+                        + ghost_objs,  # ghosts carry no det score to sweep
                         tpath)
                     if gt is not None:
                         sweep_evs[thr].add_sequence(

@@ -148,13 +148,16 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         # absent, and the scan carry must match (sensor-failure operation
         # is a product feature; reference keeps per-modality paths alive).
         # make_state0 sizes the registry for the module (2N slots + missed
-        # counters when revival_window > 0).
-        state0 = module.make_state0(
-            {k: v.shape[-1] for k, v in feats.items()}, N)
+        # counters when revival_window > 0).  Ghost coverage additionally
+        # carries per-track box velocities.
+        dims = {k: v.shape[-1] for k, v in feats.items()}
+        if module.ghost_coverage:
+            dims["boxvel"] = 4
+        state0 = module.make_state0(dims, N)
     cdtype = feats["fused"].dtype
-    # "box" (spatial-gate coordinates) stays f32: bf16 rounds pixel coords.
+    # "box"/"boxvel" (pixel coordinates) stay f32: bf16 rounds pixel coords.
     state0 = state0._replace(
-        feats={k: (v if k == "box" else v.astype(cdtype))
+        feats={k: (v if k in ("box", "boxvel") else v.astype(cdtype))
                for k, v in state0.feats.items()})
 
     if getattr(module, "parallel_assoc", False):
@@ -166,14 +169,22 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
             module, "hybrid_presolve", True):
         return _hybrid_track(module, feats, det_mask, state0)
 
+    coverage = module.ghost_coverage
+
     def step(state, frame):
         f, dm = frame
         state, out = module.step_from_feats(state, f, dm)
-        return state, (out["ids"], out["det_score"])
+        ys = (out["ids"], out["det_score"])
+        if coverage:
+            ys = ys + (out["ghost_ids"], out["ghost_boxes"])
+        return state, ys
 
     frames = ({k: v for k, v in feats.items()}, det_mask)
-    final, (ids, det_score) = jax.lax.scan(step, state0, frames)
-    return {"ids": ids, "det_score": det_score}, final
+    final, ys = jax.lax.scan(step, state0, frames)
+    out = {"ids": ys[0], "det_score": ys[1]}
+    if coverage:
+        out["ghost_ids"], out["ghost_boxes"] = ys[2], ys[3]
+    return out, final
 
 
 def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
@@ -374,6 +385,8 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     G = M - N
     Dd = K + 1                          # max reach-back of a matchable slot
     gating = module.spatial_gating
+    coverage = module.ghost_coverage
+    need_box = gating or coverage
     use_det = cfg.use_det_scores
     raw = cfg.raw_new_end
     w = cfg.det_score_weight
@@ -425,7 +438,7 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
     ffl = flat(feats["fused"], state0.feats["fused"])
     dfl = flat(det_all, det0)
-    bfl = flat(feats["box"], state0.feats["box"]) if gating else None
+    bfl = flat(feats["box"], state0.feats["box"]) if need_box else None
 
     def _new_end(net, fp, fc, l, mp, mc):
         return net.new_end(fp, fc, l, mp, mc, train=False)
@@ -434,8 +447,11 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     arange_n = jnp.arange(N, dtype=jnp.int32)
 
     def step(carry, x):
-        mask, ids, ages, next_id, missed, src = carry
-        if gating:
+        if coverage:
+            mask, ids, ages, next_id, missed, src, vel = carry
+        else:
+            mask, ids, ages, next_id, missed, src = carry
+        if need_box:
             bank_t, fc_f, det_c, dm, tt, box_t = x
         else:
             bank_t, fc_f, det_c, dm, tt = x
@@ -489,35 +505,57 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         score = jnp.where(survive, K + 1 - missed, 0) * (M + 1) - iota_m
         _, gidx = jax.lax.top_k(score, G)
         gtaken = survive[gidx]
+        ids_g = jnp.where(gtaken, ids[gidx], -1).astype(jnp.int32)
+        missed_g = jnp.where(gtaken, missed[gidx] + 1, 0).astype(jnp.int32)
         carry2 = (
             jnp.concatenate([kept[:N], gtaken]),
-            jnp.concatenate([ids_curr[:N],
-                             jnp.where(gtaken, ids[gidx], -1).astype(
-                                 jnp.int32)]),
+            jnp.concatenate([ids_curr[:N], ids_g]),
             jnp.concatenate([ages_curr[:N], ages[gidx]]),
             next_id,
-            jnp.concatenate([jnp.zeros((N,), jnp.int32),
-                             jnp.where(gtaken, missed[gidx] + 1, 0).astype(
-                                 jnp.int32)]),
+            jnp.concatenate([jnp.zeros((N,), jnp.int32), missed_g]),
             jnp.concatenate([tt * N + arange_n, src[gidx]]),
         )
-        return carry2, (ids_curr[:N], jax.nn.sigmoid(det_c))
+        ys = (ids_curr[:N], jax.nn.sigmoid(det_c))
+        if coverage:
+            # Velocity from this frame's links (tracker.step_from_feats);
+            # ghosts keep the velocity frozen at their last match.
+            box_c_pad = jnp.pad(box_t, ((0, G), (0, 0)))
+            velc = jnp.where(linked[:, None],
+                             box_c_pad - bfl[src][safe],
+                             0.0).astype(jnp.float32)
+            carry2 = carry2 + (
+                jnp.concatenate([velc[:N], vel[gidx]]),)
+            # Coverage emission: ghosts missing at THIS frame, frozen box
+            # extrapolated by missed * vel.
+            gbox = (bfl[src[gidx]]
+                    + missed_g[:, None].astype(jnp.float32) * vel[gidx])
+            ys = ys + (ids_g, gbox)
+        return carry2, ys
 
     missed0 = (state0.missed if state0.missed is not None
                else jnp.zeros((M,), jnp.int32))
     src0 = T * N + jnp.arange(M, dtype=jnp.int32)
+    carry0 = (state0.mask, state0.ids, state0.ages, state0.next_id,
+              missed0, src0)
+    if coverage:
+        carry0 = carry0 + (jnp.asarray(
+            state0.feats.get("boxvel", jnp.zeros((M, 4))), jnp.float32),)
     xs = (bank, feats["fused"], det_all, det_mask,
           jnp.arange(T, dtype=jnp.int32))
-    if gating:
+    if need_box:
         xs = xs + (feats["box"],)
-    (mask_f, ids_f, ages_f, next_id_f, missed_f, src_f), (ids, det_score) = \
-        jax.lax.scan(step, (state0.mask, state0.ids, state0.ages,
-                            state0.next_id, missed0, src0), xs)
+    carry_f, ys = jax.lax.scan(step, carry0, xs)
+    mask_f, ids_f, ages_f, next_id_f, missed_f, src_f = carry_f[:6]
+    final_feats = {k: flat(feats[k], state0.feats[k])[src_f] for k in feats}
+    out = {"ids": ys[0], "det_score": ys[1]}
+    if coverage:
+        final_feats["boxvel"] = carry_f[6]
+        out["ghost_ids"], out["ghost_boxes"] = ys[2], ys[3]
     final = TrackerState(
-        feats={k: flat(feats[k], state0.feats[k])[src_f] for k in feats},
+        feats=final_feats,
         mask=mask_f, ids=ids_f, ages=ages_f, next_id=next_id_f,
         missed=missed_f)
-    return {"ids": ids, "det_score": det_score}, final
+    return out, final
 
 
 def track_sequence(module: TrackingModule, crops, points, point_mask,
@@ -545,7 +583,7 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
     else:
         # One batched feature pass over every (frame, slot).
         feats = module.extract(crops, points, point_mask, det_mask)
-    if boxes is not None and module.spatial_gating:
+    if boxes is not None and module.carry_boxes:
         feats["box"] = jnp.asarray(boxes, jnp.float32)  # [T, N, 4]
     out, _ = _scan_track(module, feats, det_mask)
     out["n_dropped"] = n_valid - jnp.sum(det_mask.astype(jnp.int32))
@@ -626,7 +664,7 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                 method="mxu")
             crops = normalize_crops(crops, scale=scale)
         feats = module.extract(crops, points, point_mask, det_mask)
-        if module.spatial_gating:
+        if module.carry_boxes:
             feats["box"] = boxes.astype(jnp.float32)
         out, final = _scan_track(module, feats, det_mask, state0=state0)
         out["n_dropped"] = jnp.int32(0)   # per-slot path never drops
@@ -665,7 +703,7 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         feats_c = _chunked(ex, (tsel, boxes_c, boxes3d_c, taken),
                            compact_capacity, extract_chunk)
         feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
-        if module.spatial_gating:
+        if module.carry_boxes:
             feats["box"] = boxes.astype(jnp.float32)
         out, final = _scan_track(module, feats, kept, state0=state0)
         out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))

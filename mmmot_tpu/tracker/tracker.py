@@ -55,12 +55,12 @@ class TrackerState(NamedTuple):
 
 def init_state(feat_dims: Dict[str, int], num_slots: int,
                dtype=jnp.float32, with_missed: bool = False) -> TrackerState:
-    # The "box" entry (spatial-gate coordinates, iou_gate/iou_weight) stays
-    # float32 regardless of the compute dtype: bf16 rounds KITTI pixel
-    # coordinates (~1e3) to +-4 px, enough to corrupt gate IoUs.
+    # The "box"/"boxvel" entries (spatial-gate coordinates / ghost-coverage
+    # velocities) stay float32 regardless of the compute dtype: bf16 rounds
+    # KITTI pixel coordinates (~1e3) to +-4 px, enough to corrupt gate IoUs.
     return TrackerState(
         feats={k: jnp.zeros((num_slots, d),
-                            jnp.float32 if k == "box" else dtype)
+                            jnp.float32 if k in ("box", "boxvel") else dtype)
                for k, d in feat_dims.items()},
         mask=jnp.zeros((num_slots,), bool),
         ids=jnp.full((num_slots,), -1, jnp.int32),
@@ -171,6 +171,10 @@ class TrackingModule:
             raise ValueError("parallel_assoc is unsound with "
                              "revival_window (decision-dependent "
                              "ghost pool); hybrid_presolve covers it")
+        if self.assoc_cfg.ghost_coverage and \
+                not self.assoc_cfg.revival_window:
+            raise ValueError("ghost_coverage emits boxes for GHOST slots; "
+                             "it needs revival_window > 0")
         self.parallel_assoc = parallel_assoc
         # Hybrid pre-solve (sequence.py _hybrid_track / _revival_track):
         # batch the mask-independent correlation matmuls over all pairs,
@@ -195,6 +199,21 @@ class TrackingModule:
         pipeline must then carry per-detection boxes (``feats["box"]``)."""
         return (self.assoc_cfg.iou_gate > 0.0
                 or self.assoc_cfg.iou_weight != 0.0)
+
+    @property
+    def ghost_coverage(self) -> bool:
+        """Whether ghost slots emit extrapolated coverage boxes while a
+        track is missing (<= revival_window frames) — the FRAG/FN
+        mitigation.  Requires the ghost pool."""
+        return bool(self.assoc_cfg.ghost_coverage
+                    and self.assoc_cfg.revival_window)
+
+    @property
+    def carry_boxes(self) -> bool:
+        """Whether the pipeline must carry per-detection boxes
+        (``feats["box"]``): the spatial gate reads them, and ghost
+        coverage both reads them and derives per-track velocities."""
+        return self.spatial_gating or self.ghost_coverage
 
     def extract(self, crops, points, point_mask, det_mask):
         if "quant_int8" in self.variables:
@@ -241,8 +260,10 @@ class TrackingModule:
                 dims["image"] = c.appearance.out_dim
             if dead_sensor != "lidar":
                 dims["lidar"] = c.point.out_dim
-        if self.spatial_gating:
+        if self.carry_boxes:
             dims["box"] = 4
+        if self.ghost_coverage:
+            dims["boxvel"] = 4
         return self.make_state0(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
@@ -373,6 +394,24 @@ class TrackingModule:
             0)
         ages_curr = jnp.where(kept_mask, matched_prev_age + 1, 0).astype(
             jnp.int32)
+        if self.ghost_coverage:
+            # Per-track constant-velocity estimate from the last link:
+            # carried alongside the frozen box so a ghost's coverage box
+            # extrapolates (frozen_box + missed * vel).  New/unlinked dets
+            # get zero velocity (their first coverage box is the last
+            # observed box).
+            if "box" not in feats:
+                raise ValueError(
+                    "ghost_coverage needs per-detection boxes: carry them "
+                    "as feats['box'] (the raw-frames pipeline and "
+                    "predict(boxes=...) do)")
+            linked_c = dec.match_curr >= 0
+            vel = jnp.where(
+                linked_c[..., None],
+                feats["box"] - state.feats["box"][
+                    jnp.maximum(dec.match_curr, 0)],
+                0.0).astype(jnp.float32)
+            feats = dict(feats, boxvel=vel)
         if K:
             new_state = self._revival_state(
                 state, feats, det_mask, kept_mask, ids_curr, ages_curr,
@@ -390,6 +429,16 @@ class TrackingModule:
         out = {"ids": ids_curr[..., :n_in], "decisions": dec,
                "det_score": det_score[..., :n_in],
                "link": aff.link, "new": aff.new, "end": aff.end}
+        if self.ghost_coverage:
+            # Coverage for tracks missing AT THIS FRAME: the state's ghost
+            # slots (missed >= 1) extrapolated by their last link velocity.
+            gmask = new_state.mask[..., n_in:]
+            out["ghost_ids"] = jnp.where(gmask, new_state.ids[..., n_in:],
+                                         -1).astype(jnp.int32)
+            out["ghost_boxes"] = (
+                new_state.feats["box"][..., n_in:, :]
+                + new_state.missed[..., n_in:, None].astype(jnp.float32)
+                * new_state.feats["boxvel"][..., n_in:, :])
         return new_state, out
 
     def _revival_state(self, state: TrackerState, feats, det_mask,
@@ -442,6 +491,6 @@ class TrackingModule:
         ``boxes`` [N, 4] (l, t, r, b) is required when the spatial gate is
         configured (``iou_gate``/``iou_weight``)."""
         feats = self.extract(crops, points, point_mask, det_mask)
-        if boxes is not None and self.spatial_gating:
+        if boxes is not None and self.carry_boxes:
             feats["box"] = jnp.asarray(boxes, jnp.float32)
         return self.step_from_feats(state, feats, det_mask)

@@ -389,6 +389,48 @@ def test_revival_window_streams_through_runner(kitti_tree, tmp_path):
     assert stats["metrics"].recall == 1.0
 
 
+def test_ghost_coverage_streams_through_runner(kitti_tree, tmp_path):
+    """assoc.ghost_coverage through the real windowed runner: ghost
+    coverage rows (score 0.5, the ghost marker) land in the KITTI result
+    txts under their track's id, parse back cleanly, and score.  (The
+    untrained debug net links nothing, so every track ghosts every frame
+    — the QUALITY of coverage is measured by scripts/real_quality_run.py
+    on a trained model; this test checks the plumbing.)"""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree}
+    base["assoc"] = {"solver": "auction", "revival_window": 2,
+                     "ghost_coverage": True}
+    base["name"] = "tiny_kitti_coverage"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "2",
+                  "--result-path", str(tmp_path / "results")])
+    assert stats["n_dropped"] == 0
+    assert stats["metrics"].recall == 1.0   # real dets still all tracked
+    import glob
+    txts = glob.glob(str(tmp_path / "results" / "**" / "0000.txt"),
+                     recursive=True)
+    assert txts, "result txt not written"
+    frames = read_kitti_tracking_labels(txts[0])
+    objs = [o for objs_f in frames.values() for o in objs_f]
+    ghosts = [o for o in objs if o.score == 0.5]
+    assert ghosts, "no ghost coverage rows written"
+    real_ids = {o.track_id for o in objs if o.score != 0.5}
+    assert all(g.track_id in real_ids for g in ghosts), \
+        "ghost rows must continue existing track ids"
+    # Ghost rows carry finite boxes inside the frame.
+    import numpy as np
+    for g in ghosts:
+        assert np.isfinite(np.asarray(g.bbox, float)).all()
+
+
 def test_submission_zip_packaging(kitti_tree, tmp_path):
     """--submission-zip packages the tracked sequences' result txts (and
     only them: devkit side-products and sweep dirs are excluded) in the

@@ -25,6 +25,28 @@ def test_tiny_experiment_loads():
     assert cfg.model.affinity.correlation_ops == ("subabs",)
 
 
+def test_noisy_experiment_exposes_mitigation_stack():
+    """The best published noisy-regime quality row (y_det + revival + gate,
+    results/real_tree_quality.json) must be reproducible from config alone:
+    experiments/full_mmmot_noisy exposes every knob of the stack."""
+    cfg = load_config("experiments/full_mmmot_noisy/config.yaml")
+    assert cfg.name == "full_mmmot_noisy"
+    assert cfg.assoc.use_det_scores and cfg.assoc.raw_new_end
+    assert cfg.assoc.revival_window == 2
+    assert cfg.assoc.iou_gate == 0.1 and cfg.assoc.iou_weight == 1.0
+    assert cfg.data.det_source == "noisy"
+    # The stack must resolve onto the ghost-pool hybrid pre-solve (the
+    # throughput-preserving path), not the fully sequential scan.
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+
+    net = model_entry(cfg.model)
+    m = TrackingModule(net, {"params": {}}, cfg.assoc,
+                       use_pallas_affinity=False)
+    assert m.hybrid_presolve and not m.parallel_assoc
+    assert m.spatial_gating
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text(yaml.safe_dump({"model": {"fusionn": {}}}))

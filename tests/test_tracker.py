@@ -418,6 +418,12 @@ def test_revival_hybrid_matches_sequential():
                     raw_new_end=True),
         AssocConfig(solver="auction", revival_window=2, iou_weight=0.5,
                     iou_gate=0.01),
+        AssocConfig(solver="auction", revival_window=2,
+                    ghost_coverage=True),
+        AssocConfig(solver="auction", revival_window=2,
+                    use_det_scores=True, det_score_weight=-1.0,
+                    raw_new_end=True, iou_weight=0.5, iou_gate=0.01,
+                    ghost_coverage=True),
     ]
     for acfg in variants:
         outs = {}
@@ -435,6 +441,15 @@ def test_revival_hybrid_matches_sequential():
             np.asarray(outs["hybrid"]["det_score"]),
             np.asarray(outs["sequential"]["det_score"]), atol=1e-6,
             err_msg=str(acfg))
+        if acfg.ghost_coverage:
+            np.testing.assert_array_equal(
+                np.asarray(outs["hybrid"]["ghost_ids"]),
+                np.asarray(outs["sequential"]["ghost_ids"]),
+                err_msg=str(acfg))
+            np.testing.assert_allclose(
+                np.asarray(outs["hybrid"]["ghost_boxes"]),
+                np.asarray(outs["sequential"]["ghost_boxes"]), atol=1e-4,
+                err_msg=str(acfg))
     # The regime is non-trivial: a clean identical-signature dropout (the
     # construction test_revival_window_recovers_id_after_gap proves against
     # the sequential path) must revive THROUGH THE HYBRID PATH too.
@@ -450,6 +465,63 @@ def test_revival_hybrid_matches_sequential():
     ids = np.asarray(jax.jit(lambda c, p, q, d: track_sequence(
         m, c, p, q, d))(crops1, points1, pm, dm1)["ids"])
     assert ids[1, 0] == ids[4, 0], "hybrid path must revive across the gap"
+
+
+def test_ghost_coverage_emits_extrapolated_boxes():
+    """assoc.ghost_coverage: while a track is inside the revival window,
+    the tracker emits its constant-velocity extrapolated box under the
+    SAME track id — the FRAG/FN mitigation.  With a linearly moving box
+    and a 2-frame dropout the emitted coverage boxes must be exactly the
+    true extrapolation."""
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 7, 4, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    sig = jax.random.normal(jax.random.PRNGKey(5), (32, 32, 3))
+    sigp = jax.random.normal(jax.random.PRNGKey(5), (P, 4))
+    crops = jnp.tile(sig[None, None], (T, Ns, 1, 1, 1))
+    points = jnp.tile(sigp[None, None], (T, Ns, 1, 1))
+    pm = jnp.ones((T, Ns, P), bool)
+    present = jnp.asarray([1, 1, 0, 0, 1, 1, 1], bool)
+    dm = jnp.zeros((T, Ns), bool).at[:, 0].set(present)
+    # Box moves +3 px/frame in x, +1 px/frame in y.
+    boxes = np.zeros((T, Ns, 4), np.float32)
+    for t in range(T):
+        boxes[t, 0] = [10 + 3 * t, 20 + t, 40 + 3 * t, 50 + t]
+    boxes = jnp.asarray(boxes)
+
+    acfg = AssocConfig(solver="auction", revival_window=2,
+                       ghost_coverage=True)
+    m = TrackingModule(net, vars_, acfg)
+    out = jax.jit(lambda c, p, q, d, b: track_sequence(
+        m, c, p, q, d, boxes=b))(crops, points, pm, dm, boxes)
+    ids = np.asarray(out["ids"])
+    gids = np.asarray(out["ghost_ids"])
+    gboxes = np.asarray(out["ghost_boxes"])
+    assert gids.shape == (T, Ns) and gboxes.shape == (T, Ns, 4)
+    tid = ids[1, 0]
+    assert ids[4, 0] == tid, "revival must hold with coverage on"
+    # Frames 2 and 3: the track is missing; its ghost must emit the true
+    # constant-velocity extrapolation under the same id.
+    for t, missed in ((2, 1), (3, 2)):
+        row = np.where(gids[t] == tid)[0]
+        assert row.size == 1, f"frame {t}: ghost for track {tid} missing"
+        expect = np.asarray(boxes[1, 0]) + missed * np.asarray(
+            [3.0, 1.0, 3.0, 1.0])
+        np.testing.assert_allclose(gboxes[t, row[0]], expect, atol=1e-3)
+    # Frames where the track is present emit no ghost for it.
+    for t in (0, 1, 4, 5, 6):
+        assert (gids[t] != tid).all()
 
 
 def test_hybrid_presolve_gnn_guard():
