@@ -16,7 +16,15 @@ and compares the FP policies end-to-end:
 * y_det LP        — the reference ILP's detection-confidence variables
                     (``assoc.use_det_scores`` + raw new/end LP scores);
 * y_det + revival — LP rejection plus ``revival_window=2`` ghost slots
-                    (detector dropout bursts stop costing an ID switch).
+                    (detector dropout bursts stop costing an ID switch);
+* ... + gate      — spatial IoU gate + soft IoU prior on the links;
+* ... + coverage  — ``ghost_coverage``: extrapolated boxes emitted while
+                    a track is inside the revival window (FRAG/FN cut,
+                    FP risk when the track actually ended);
+* int8 rows       — the quantized appearance trunk (models/quantize.py,
+                    calibrated on REAL crops from the training loader)
+                    re-scored on the same trained weights: the quality
+                    price of the 613-vs-455 FPS bench win.
 
 One command regenerates the ``noisy_detector`` section of
 results/real_tree_quality.json:
@@ -24,6 +32,11 @@ results/real_tree_quality.json:
     python scripts/real_quality_run.py [--root /tmp/kitti_rq]
         [--epochs 12] [--steps-per-epoch 60]
     python scripts/real_quality_run.py --tiny --cpu   # smoke (CI scale)
+
+``--crop 112 --point-len 256`` prices the TPU-friendly serving point
+(1431.6 FPS headline) and writes a ``noisy_detector_crop112`` section
+instead.  ``--ckpt`` persists/reuses the trained weights so row-only
+re-runs skip the training stage.
 """
 
 from __future__ import annotations
@@ -49,6 +62,18 @@ def main():
                     help="tiny model scale (smoke/CI; full flagship scale "
                          "otherwise)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--crop", type=int, default=0,
+                    help="crop size override (e.g. 112 to price the "
+                         "TPU-friendly serving point; default: flagship "
+                         "224)")
+    ap.add_argument("--point-len", type=int, default=0,
+                    help="points/det override (e.g. 256 with --crop 112)")
+    ap.add_argument("--ckpt", default="",
+                    help="path for the trained weights (msgpack): written "
+                         "after training, REUSED (training skipped) if it "
+                         "already exists")
+    ap.add_argument("--skip-int8", action="store_true",
+                    help="skip the int8-trunk rows")
     args = ap.parse_args()
 
     if args.cpu:
@@ -80,8 +105,15 @@ def main():
 
         build_tree(args.root, n_seqs=args.seqs, T=args.frames)
 
-    cfg = tiny(crop=64, max_dets=24, point_len=64) if args.tiny \
-        else flagship()
+    if args.tiny:
+        cfg = tiny(crop=64, max_dets=24, point_len=64)
+    else:
+        kw = {}
+        if args.crop:
+            kw["crop"] = args.crop
+        if args.point_len:
+            kw["point_len"] = args.point_len
+        cfg = flagship(**kw)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, root=args.root,
                                  det_source="noisy",
@@ -104,27 +136,42 @@ def main():
     state = create_train_state(net, cfg.train, key, batch0,
                                steps_per_epoch=args.steps_per_epoch)
 
-    def _step(s, b, r):
-        ra, rd = jax.random.split(r)
-        b = augment_batch(ra, b)
-        return train_step(net, s, b, rd,
-                          loss_weights=cfg.train.loss_weights,
-                          compact_capacity=cfg.train.compact_capacity)
+    from flax import serialization
 
-    step_fn = jax.jit(_step)
-    t0 = time.time()
-    for epoch in range(cfg.train.epochs):
-        te = time.time()
-        losses = []
-        for _ in range(args.steps_per_epoch):
-            state, metrics = step_fn(
-                state, next(batch_iter),
-                jax.random.fold_in(key, int(state.step)))
-            losses.append(float(metrics["total"]))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
-              f"({time.time() - te:.1f}s)", flush=True)
-    train_time = time.time() - t0
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.ckpt and os.path.exists(args.ckpt):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        with open(args.ckpt, "rb") as fh:
+            variables = serialization.from_bytes(variables, fh.read())
+        train_time = 0.0
+        print(f"reusing trained weights from {args.ckpt}", flush=True)
+    else:
+        def _step(s, b, r):
+            ra, rd = jax.random.split(r)
+            b = augment_batch(ra, b)
+            return train_step(net, s, b, rd,
+                              loss_weights=cfg.train.loss_weights,
+                              compact_capacity=cfg.train.compact_capacity)
+
+        step_fn = jax.jit(_step)
+        t0 = time.time()
+        for epoch in range(cfg.train.epochs):
+            te = time.time()
+            losses = []
+            for _ in range(args.steps_per_epoch):
+                state, metrics = step_fn(
+                    state, next(batch_iter),
+                    jax.random.fold_in(key, int(state.step)))
+                losses.append(float(metrics["total"]))
+            print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+                  f"({time.time() - te:.1f}s)", flush=True)
+        train_time = time.time() - t0
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if args.ckpt:
+            with open(args.ckpt, "wb") as fh:
+                fh.write(serialization.to_bytes(variables))
+            print(f"saved trained weights to {args.ckpt}", flush=True)
 
     def _row(m):
         return {"mota": round(float(m.mota), 4),
@@ -134,8 +181,8 @@ def main():
                 "recall": round(float(m.recall), 4),
                 "precision": round(float(m.precision), 4)}
 
-    def run(tag, assoc, det_source="noisy", score_sweep=None):
-        module = TrackingModule(net, variables, assoc)
+    def run(tag, assoc, det_source="noisy", score_sweep=None, vars_=None):
+        module = TrackingModule(net, vars_ or variables, assoc)
         data_cfg = dataclasses.replace(cfg.data, det_source=det_source)
         stats = track_kitti_sequences(
             module, data_cfg, os.path.join("results", "real_noisy", tag),
@@ -173,11 +220,39 @@ def main():
         "ydet_revival", dataclasses.replace(ydet, revival_window=2))[0]
     # Spatial gate (assoc.iou_gate/iou_weight — addition over the
     # reference's appearance-only ILP) on top of the full stack.
-    rows["ydet_revival_gate"] = run(
-        "ydet_revival_gate",
-        dataclasses.replace(ydet, revival_window=2,
-                            iou_weight=1.0, iou_gate=0.1))[0]
+    gate = dataclasses.replace(ydet, revival_window=2,
+                               iou_weight=1.0, iou_gate=0.1)
+    rows["ydet_revival_gate"] = run("ydet_revival_gate", gate)[0]
+    # Ghost coverage (assoc.ghost_coverage): extrapolated boxes while a
+    # track is inside the revival window — the FRAG/FN mitigation, at the
+    # cost of FPs when a track actually ended.
+    cover = dataclasses.replace(gate, ghost_coverage=True)
+    rows["ydet_revival_gate_cover"] = run("ydet_revival_gate_cover",
+                                          cover)[0]
 
+    if not args.skip_int8:
+        # Int8 appearance trunk on the SAME trained weights, calibrated on
+        # REAL crops from the training loader (uniform-noise calibration is
+        # throughput-only — ADVICE r3): the quality price of the
+        # 613-vs-455 FPS bench win.
+        import jax.numpy as jnp
+
+        from mmmot_tpu.models.quantize import with_int8_appearance
+
+        calib = np.asarray(batch0["crops"])[np.asarray(batch0["det_mask"])]
+        vars_i8 = with_int8_appearance(variables, cfg.model.appearance,
+                                       jnp.asarray(calib[:256]))
+        rows["ydet_revival_gate_int8"] = run("ydet_revival_gate_int8",
+                                             gate, vars_=vars_i8)[0]
+        rows["ydet_revival_gate_cover_int8"] = run(
+            "ydet_revival_gate_cover_int8", cover, vars_=vars_i8)[0]
+
+    cli = f"python scripts/real_quality_run.py --epochs {args.epochs} " \
+          f"--steps-per-epoch {args.steps_per_epoch}"
+    if args.crop:
+        cli += f" --crop {args.crop}"
+    if args.point_len:
+        cli += f" --point-len {args.point_len}"
     section = {
         "what": "Same REAL streaming path as the oracle run, under a "
                 "simulated detector (detections/noisy: jitter, dropout "
@@ -185,9 +260,10 @@ def main():
                 "FPs with overlapping score distributions), trained on "
                 "the noisy detections (FP-aware loss) and scored against "
                 "full GT on the held-out sequence.",
-        "command": f"python scripts/real_quality_run.py --epochs "
-                   f"{args.epochs} --steps-per-epoch {args.steps_per_epoch}",
+        "command": cli,
         "tiny": args.tiny,
+        "crop": args.crop or cfg.data.crop_size[0],
+        "point_len": args.point_len or cfg.data.point_len,
         "train_seconds": round(train_time, 1),
         "epochs": cfg.train.epochs,
         "val_sequence": val_seq,
@@ -197,11 +273,13 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as fh:
             doc = json.load(fh)
-    doc["noisy_detector"] = section
+    key_name = "noisy_detector" if not args.crop or args.crop == 224 \
+        else f"noisy_detector_crop{args.crop}"
+    doc[key_name] = section
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(doc, fh, indent=2)
-    print(f"wrote {args.out} [noisy_detector]", flush=True)
+    print(f"wrote {args.out} [{key_name}]", flush=True)
 
 
 if __name__ == "__main__":
