@@ -169,7 +169,13 @@ class DataConfig:
     score_threshold: float = 0.0
     augmentation: bool = True
     track_class: str = "Car"           # Car | Pedestrian | Cyclist — class
-                                       # tracked/written/devkit-scored
+                                       # tracked/written/devkit-scored.
+                                       # "All": JOINT single-pass multi-
+                                       # class — every class tracked in one
+                                       # program (enable assoc.class_gate
+                                       # to forbid cross-class links),
+                                       # per-class devkit/HOTA scoring
+                                       # from the one result set
     cloud_filter: str = "boxes"        # boxes: host-prefilter the scan to
                                        # points projecting into a detection
                                        # box (superset of the device
@@ -184,9 +190,9 @@ class DataConfig:
                                        # decode; data/packed_cache.py)
 
     def __post_init__(self):
-        if self.track_class not in ("Car", "Pedestrian", "Cyclist"):
+        if self.track_class not in ("Car", "Pedestrian", "Cyclist", "All"):
             raise ValueError(
-                f"track_class must be Car/Pedestrian/Cyclist, "
+                f"track_class must be Car/Pedestrian/Cyclist/All, "
                 f"got {self.track_class!r}")
         if self.point_source not in ("frustum", "box3d"):
             raise ValueError(
@@ -240,6 +246,13 @@ class AssocConfig:
                                        # pool hybrid pre-solve (banded
                                        # batched affinity; sequence.py
                                        # _revival_track).
+    class_gate: bool = False           # joint multi-class association
+                                       # (data.track_class "All"): forbid
+                                       # links between detections of
+                                       # different class groups via the
+                                       # assoc NEG sentinel.  Requires the
+                                       # pipeline to carry per-detection
+                                       # class ids (the KITTI paths do).
     ghost_coverage: bool = False       # with revival_window > 0: EMIT a
                                        # constant-velocity extrapolated box
                                        # for each ghost while it is missing

@@ -51,6 +51,10 @@ class SequenceArrays:
     boxes3d: np.ndarray = None  # [T, N, 7] KITTI (h,w,l,x,y,z,ry) rect
     has_3d: np.ndarray = None   # [T, N] bool — detection carries a 3D box
     velo_to_rect: np.ndarray = None   # [3, 4] velodyne -> rect transform
+    cls_ids: np.ndarray = None  # [T, N] int8 — class-group index per det
+                                # (KittiTrackingDataset.CLASS_GROUPS;
+                                # -1 invalid).  Drives the joint multi-
+                                # class association gate + result types.
 
 
 class KittiTrackingDataset:
@@ -62,7 +66,18 @@ class KittiTrackingDataset:
     # handling (eval/kitti_devkit.py IGNORED_BY_CLASS).
     CLASS_FILTERS = {"car": ("car", "van"),
                      "pedestrian": ("pedestrian", "person_sitting"),
-                     "cyclist": ("cyclist",)}
+                     "cyclist": ("cyclist",),
+                     # Joint single-pass multi-class (track_class "All"):
+                     # every trackable group in one program; per-det class
+                     # ids (CLASS_GROUPS indices) ride SequenceArrays.
+                     "all": ("car", "van", "pedestrian", "person_sitting",
+                             "cyclist")}
+    # Canonical group per raw KITTI type and the result-row type written
+    # for each group (vans track with cars and are written as Car — the
+    # devkit ignores Van rows for the car class, same as per-class mode).
+    CLASS_GROUPS = ("Car", "Pedestrian", "Cyclist")
+    GROUP_OF = {"car": 0, "van": 0, "pedestrian": 1, "person_sitting": 1,
+                "cyclist": 2}
 
     def __init__(self, cfg: DataConfig, max_cloud_points: int = 65536,
                  class_filter: Optional[Tuple[str, ...]] = None):
@@ -190,6 +205,7 @@ class KittiTrackingDataset:
         det_mask = np.zeros((T, N), bool)
         scores = np.zeros((T, N), np.float32)
         gt_ids = np.full((T, N), -1, np.int32)
+        cls_ids = np.full((T, N), -1, np.int8)
         frame_ids = np.zeros((T,), np.int32)
 
         # Host cloud prefilter (cfg.cloud_filter): only meaningful for the
@@ -225,6 +241,7 @@ class KittiTrackingDataset:
                 boxes[t, n] = o.bbox
                 det_mask[t, n] = True
                 scores[t, n] = 1.0 if o.score is None else o.score
+                cls_ids[t, n] = self.GROUP_OF.get(o.obj_type.lower(), 0)
                 # KITTI 3D fields (rotation_y == -10 marks 2D-only dets).
                 if o.rotation_y > -10.0 and np.any(o.dimensions > 0):
                     boxes3d[t, n] = np.concatenate(
@@ -239,10 +256,16 @@ class KittiTrackingDataset:
                 det_b = np.stack([o.bbox for o in objs])
                 gt_b = np.stack([g.bbox for g in gt_objs])
                 ious = _iou_pair(det_b, gt_b)
-                cost = np.where(ious >= 0.5, 1.0 - ious, 1e9)
+                # Class-consistent GT assignment (joint multi-class: a
+                # pedestrian det must not claim an overlapping car GT).
+                same = (cls_ids[t, :len(objs), None]
+                        == np.asarray([self.GROUP_OF.get(
+                            g.obj_type.lower(), 0)
+                            for g in gt_objs], np.int8)[None, :])
+                cost = np.where((ious >= 0.5) & same, 1.0 - ious, 1e9)
                 rows, cols = _lsa(cost)
                 for r, c in zip(rows, cols):
-                    if ious[r, c] >= 0.5:
+                    if ious[r, c] >= 0.5 and same[r, c]:
                         gt_ids[t, r] = gt_objs[c].track_id
 
         # Pack clouds.  Filtered mode shrinks the padded M to a 4096
@@ -267,7 +290,8 @@ class KittiTrackingDataset:
                               frame_ids=frame_ids,
                               boxes3d=boxes3d, has_3d=has_3d,
                               velo_to_rect=calib.velo_to_rect_matrix()
-                              .astype(np.float32))
+                              .astype(np.float32),
+                              cls_ids=cls_ids)
         if use_cache:
             packed_cache.save(self, seq, n_frames, arrs)
         return arrs

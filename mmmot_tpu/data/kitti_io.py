@@ -124,7 +124,9 @@ def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
                               boxes3d: Optional[np.ndarray] = None,
                               obj_type: str = "Car",
                               frame_ids: Optional[np.ndarray] = None,
-                              has_3d: Optional[np.ndarray] = None
+                              has_3d: Optional[np.ndarray] = None,
+                              obj_types: Optional[np.ndarray] = None,
+                              type_names: Optional[List[str]] = None
                               ) -> List[KittiObject]:
     """Convert padded tracker outputs into KITTI objects.
 
@@ -134,6 +136,8 @@ def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
     frame_ids [T] optional KITTI frame numbers (default: the row index),
     has_3d [T, N] optional per-detection 3D validity (default: every det
     when boxes3d is given; 2D-only dets keep the -10 rotation sentinel).
+    ``obj_types`` [T, N] optional per-detection class-group indices into
+    ``type_names`` (joint multi-class; overrides ``obj_type``).
     """
     out: List[KittiObject] = []
     T, N = ids.shape
@@ -142,8 +146,12 @@ def tracker_output_to_objects(ids: np.ndarray, det_mask: np.ndarray,
             if not det_mask[t, n] or ids[t, n] < 0:
                 continue
             frame = int(frame_ids[t]) if frame_ids is not None else t
+            typ = obj_type
+            if obj_types is not None and type_names is not None \
+                    and obj_types[t, n] >= 0:
+                typ = type_names[int(obj_types[t, n])]
             obj = KittiObject(frame=frame, track_id=int(ids[t, n]),
-                              obj_type=obj_type,
+                              obj_type=typ,
                               bbox=np.asarray(boxes2d[t, n], float))
             if boxes3d is not None and (has_3d is None or has_3d[t, n]):
                 obj.dimensions = np.asarray(boxes3d[t, n, :3], float)

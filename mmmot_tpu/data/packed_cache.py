@@ -35,9 +35,9 @@ import numpy as np
 
 _FIELDS = ("images", "clouds", "cloud_valid", "boxes", "det_mask",
            "scores", "gt_ids", "proj", "frame_ids", "boxes3d", "has_3d",
-           "velo_to_rect")
+           "velo_to_rect", "cls_ids")
 _MANIFEST = "manifest.json"
-_FORMAT = 1
+_FORMAT = 2    # 2: + cls_ids (joint multi-class); old entries just miss
 
 
 def _stat_sig(path: str):

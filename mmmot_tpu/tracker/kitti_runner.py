@@ -97,6 +97,12 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
 
     crop = tuple(data_cfg.crop_size)
     P = data_cfg.point_len
+    joint = data_cfg.track_class == "All"
+    if joint and not module.class_gating:
+        raise ValueError(
+            "track_class 'All' (joint multi-class) requires "
+            "assoc.class_gate: true — without it the LP would link "
+            "detections across classes")
     ds = KittiTrackingDataset(data_cfg, max_cloud_points=32768)
     seqs = list(sequences) if sequences is not None else ds.sequences
     unknown = [s for s in seqs if s not in set(ds.sequences)]
@@ -131,8 +137,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         local_keys.add(key)
         fresh = key not in _WINDOW_FNS
         if fresh:
-            def run_one(variables, im, cl, cv, bx, b3, v2r, dm, pr, st,
-                        _cap=capacity, _cw=crop_window):
+            def run_one(variables, im, cl, cv, bx, b3, v2r, dm, dcl, pr,
+                        st, _cap=capacity, _cw=crop_window):
                 mod = TrackingModule(
                     module.net, variables, module.assoc_cfg,
                     use_pallas_affinity=module.use_pallas_affinity,
@@ -144,13 +150,15 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     compact_capacity=_cap, extract_chunk=chunk, state0=st,
                     return_state=True, boxes3d=b3, velo_to_rect=v2r,
                     crop_window=_cw, point_source=data_cfg.point_source,
-                    dead_sensor=dead_sensor)
+                    dead_sensor=dead_sensor, det_cls=dcl)
 
             if S_b == 1:
                 _WINDOW_FNS[key] = jax.jit(run_one)
             else:
+                # dcl is None for single-class runs: None args carry no
+                # leaves, so vmap's axis spec over them is a no-op.
                 _WINDOW_FNS[key] = jax.jit(jax.vmap(
-                    run_one, in_axes=(None,) + (0,) * 9))
+                    run_one, in_axes=(None,) + (0,) * 10))
         return _WINDOW_FNS[key], fresh
 
     variables = module.variables
@@ -247,7 +255,9 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     jnp.asarray(stacked("boxes", w)),
                     (jnp.asarray(stacked("boxes3d", w)) if use_box3d
                      else b3_zeros),
-                    jnp.asarray(stacked("det_mask", w)))
+                    jnp.asarray(stacked("det_mask", w)),
+                    (jnp.asarray(stacked("cls_ids", w)) if joint
+                     else None))
 
         def pad_clouds(cl, cv):
             """Pad compact clouds to the fixed run-level M on device, so
@@ -299,10 +309,10 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     break
                 if isinstance(item, BaseException):
                     raise item
-                w, (im, cl, cv, bx, b3, dm) = item
+                w, (im, cl, cv, bx, b3, dm, dcl) = item
                 cl, cv = pad_clouds(cl, cv)
                 out, state = f(variables, im, cl, cv, bx, b3, v2r, dm,
-                               proj, state)
+                               dcl, proj, state)
                 # The host fetch is also timed: under the axon tunnel
                 # block_until_ready can resolve before execution finishes,
                 # so only the fetch gives an honest per-window time.
@@ -356,10 +366,15 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 frames_ctd, secs_ctd)
 
     cls = data_cfg.track_class.lower()
-    ev = TrackingEvaluation(cls=cls)
-    hev = HotaEvaluation(cls=cls)
+    # Joint multi-class: per-class devkit/HOTA accumulators scored from
+    # the ONE tracking pass's result files (the devkit evaluates one class
+    # at a time and ignores other-type rows, exactly like per-class runs).
+    eval_classes = (("car", "pedestrian", "cyclist") if joint else (cls,))
+    evs = {c: TrackingEvaluation(cls=c) for c in eval_classes}
+    hevs = {c: HotaEvaluation(cls=c) for c in eval_classes}
     sweep = tuple(score_sweep or ())
-    sweep_evs = {thr: TrackingEvaluation(cls=cls) for thr in sweep}
+    sweep_evs = {thr: {c: TrackingEvaluation(cls=c) for c in eval_classes}
+                 for thr in sweep}
     per_seq = {}
     total_frames, t_total = 0, 0.0
     S_b = max(1, batch_sequences)
@@ -392,10 +407,15 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                 # the KITTI 3D tracking eval reads them; SURVEY §2.14
                 # write_kitti_result); per-det validity is the dataset's
                 # has_3d mask so 2D-only dets keep the -10 sentinel.
+                type_kw = (dict(obj_types=arrs.cls_ids[:T],
+                                type_names=list(
+                                    KittiTrackingDataset.CLASS_GROUPS))
+                           if joint else {})
                 objs = tracker_output_to_objects(
                     ids[:T], keep, arrs.boxes, scores=arrs.scores,
                     boxes3d=arrs.boxes3d, obj_type=data_cfg.track_class,
-                    frame_ids=arrs.frame_ids, has_3d=arrs.has_3d)
+                    frame_ids=arrs.frame_ids, has_3d=arrs.has_3d,
+                    **type_kw)
                 ghost_objs = []
                 if ghosts is not None:
                     # Ghost-coverage rows (assoc.ghost_coverage): a track
@@ -409,6 +429,13 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                         scores=np.full(gi[:T].shape, 0.5, np.float32),
                         obj_type=data_cfg.track_class,
                         frame_ids=arrs.frame_ids)
+                    if joint:
+                        # A ghost row inherits its track's class (the
+                        # track id is class-pure under the class gate).
+                        id2type = {o.track_id: o.obj_type for o in objs}
+                        for g in ghost_objs:
+                            g.obj_type = id2type.get(g.track_id,
+                                                     g.obj_type)
                     objs = objs + ghost_objs
                 path = os.path.join(res_dir, f"{seq}.txt")
                 write_kitti_result(objs, path)
@@ -432,9 +459,10 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                         + ghost_objs,  # ghosts carry no det score to sweep
                         tpath)
                     if gt is not None:
-                        sweep_evs[thr].add_sequence(
-                            gt, read_kitti_tracking_labels(tpath),
-                            num_frames=nf_sweep)
+                        tt = read_kitti_tracking_labels(tpath)
+                        for c in eval_classes:
+                            sweep_evs[thr][c].add_sequence(
+                                gt, tt, num_frames=nf_sweep)
                 if gt is not None:
                     trk = read_kitti_tracking_labels(path)
                     # Score exactly the tracked range: with max_frames the
@@ -444,9 +472,10 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     # the loaded count — a tree with frame-file gaps has
                     # frame_ids[-1] + 1 > T and result rows beyond T
                     # would silently drop from scoring (ADVICE r2).
-                    ev.add_sequence(gt, trk, num_frames=nf_sweep)
-                    hev.add_sequence(gt, trk, num_frames=nf_sweep)
-                    one = TrackingEvaluation(cls=cls)
+                    for c in eval_classes:
+                        evs[c].add_sequence(gt, trk, num_frames=nf_sweep)
+                        hevs[c].add_sequence(gt, trk, num_frames=nf_sweep)
+                    one = TrackingEvaluation(cls=eval_classes[0])
                     one.add_sequence(gt, trk, num_frames=nf_sweep)
                     per_seq[seq] = one.compute()
 
@@ -460,19 +489,29 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
         log.warning("%d detections dropped by compaction capacity — "
                     "results are incomplete", n_dropped)
     if evaluate:
-        m = ev.compute()
-        stats["metrics"] = m
+        by_cls = {c: evs[c].compute() for c in eval_classes}
+        hota_by_cls = {c: hevs[c].compute() for c in eval_classes}
         stats["per_sequence"] = per_seq
-        if sweep:
-            stats["sweep"] = {thr: e.compute()
-                              for thr, e in sweep_evs.items()}
-        hm = hev.compute()
-        stats["hota"] = hm
-        with open(os.path.join(res_dir, f"summary_{cls}.txt"), "w") as fh:
-            fh.write(m.summary_text())
-        with open(os.path.join(res_dir, f"hota_{cls}.txt"), "w") as fh:
-            fh.write(hm.summary_text())
-        if log:
-            log.info("metrics: %s", m.summary())
-            log.info("hota: %s", hm.summary())
+        if joint:
+            stats["metrics_by_class"] = by_cls
+            stats["hota_by_class"] = hota_by_cls
+            if sweep:
+                stats["sweep"] = {
+                    thr: {c: e.compute() for c, e in d.items()}
+                    for thr, d in sweep_evs.items()}
+        else:
+            stats["metrics"] = by_cls[cls]
+            stats["hota"] = hota_by_cls[cls]
+            if sweep:
+                stats["sweep"] = {thr: d[cls].compute()
+                                  for thr, d in sweep_evs.items()}
+        for c in eval_classes:
+            with open(os.path.join(res_dir, f"summary_{c}.txt"),
+                      "w") as fh:
+                fh.write(by_cls[c].summary_text())
+            with open(os.path.join(res_dir, f"hota_{c}.txt"), "w") as fh:
+                fh.write(hota_by_cls[c].summary_text())
+            if log:
+                log.info("[%s] metrics: %s", c, by_cls[c].summary())
+                log.info("[%s] hota: %s", c, hota_by_cls[c].summary())
     return stats

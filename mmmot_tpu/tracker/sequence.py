@@ -157,7 +157,8 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     cdtype = feats["fused"].dtype
     # "box"/"boxvel" (pixel coordinates) stay f32: bf16 rounds pixel coords.
     state0 = state0._replace(
-        feats={k: (v if k in ("box", "boxvel") else v.astype(cdtype))
+        feats={k: (v if k in ("box", "boxvel", "cls")
+                  else v.astype(cdtype))
                for k, v in state0.feats.items()})
 
     if getattr(module, "parallel_assoc", False):
@@ -214,6 +215,11 @@ def _parallel_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
         link = apply_spatial_gate(link, prev_feats["box"], feats["box"],
                                   module.assoc_cfg)
+    if module.class_gating:
+        from mmmot_tpu.tracker.tracker import apply_class_gate
+
+        link = apply_class_gate(link, prev_feats["cls"][..., 0],
+                                feats["cls"][..., 0])
     raw = module.assoc_cfg.raw_new_end
     new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
     end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
@@ -296,14 +302,18 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         return net.new_end(fp, fc, l, mp, mc, train=False)
 
     gating = module.spatial_gating
+    clsing = module.class_gating
 
     def step(carry, x):
         mp, ids_prev, ages_prev, next_id = carry
+        link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm = x[:6]
+        rest = list(x[6:])
+        box_prev = box_curr = cls_prev = cls_curr = None
         if gating:
-            (link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm,
-             box_prev, box_curr) = x
-        else:
-            link_raw, fp_fused, fc_fused, dlp_full, dl_curr, dm = x
+            box_prev, box_curr = rest[0], rest[1]
+            rest = rest[2:]
+        if clsing:
+            cls_prev, cls_curr = rest[0], rest[1]
         pm = pair_mask(mp, dm)
         link = link_raw * pm.astype(link_raw.dtype)
         link_norm = normalize_link(link, mp, dm,
@@ -313,6 +323,11 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
             link_norm = apply_spatial_gate(link_norm, box_prev, box_curr,
                                            module.assoc_cfg)
+        if clsing:
+            from mmmot_tpu.tracker.tracker import apply_class_gate
+
+            link_norm = apply_class_gate(link_norm, cls_prev[..., 0],
+                                         cls_curr[..., 0])
         new, end = net.apply(module.variables, fp_fused, fc_fused, link,
                              mp, dm, method=_new_end)
         raw = module.assoc_cfg.raw_new_end
@@ -341,6 +356,8 @@ def _hybrid_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
                      (link_all, prev_feats["fused"], feats["fused"],
                       det_logit_prev_full, det_logit, det_mask)
                      + ((prev_feats["box"], feats["box"]) if gating
+                        else ())
+                     + ((prev_feats["cls"], feats["cls"]) if clsing
                         else ()))
     final = TrackerState(
         feats={k: v[-1] for k, v in feats.items()},
@@ -375,7 +392,8 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     from mmmot_tpu.assoc import associate
     from mmmot_tpu.models.affinity import normalize_link
     from mmmot_tpu.ops.masking import pair_mask
-    from mmmot_tpu.tracker.tracker import TrackerState, apply_spatial_gate
+    from mmmot_tpu.tracker.tracker import (TrackerState, apply_class_gate,
+                                           apply_spatial_gate)
 
     net = module.net
     cfg = module.assoc_cfg
@@ -386,6 +404,7 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     Dd = K + 1                          # max reach-back of a matchable slot
     gating = module.spatial_gating
     coverage = module.ghost_coverage
+    clsing = module.class_gating
     need_box = gating or coverage
     use_det = cfg.use_det_scores
     raw = cfg.raw_new_end
@@ -439,6 +458,7 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     ffl = flat(feats["fused"], state0.feats["fused"])
     dfl = flat(det_all, det0)
     bfl = flat(feats["box"], state0.feats["box"]) if need_box else None
+    cfl = flat(feats["cls"], state0.feats["cls"]) if clsing else None
 
     def _new_end(net, fp, fc, l, mp, mc):
         return net.new_end(fp, fc, l, mp, mc, train=False)
@@ -451,10 +471,14 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
             mask, ids, ages, next_id, missed, src, vel = carry
         else:
             mask, ids, ages, next_id, missed, src = carry
+        bank_t, fc_f, det_c, dm, tt = x[:5]
+        rest = list(x[5:])
+        box_t = cls_t = None
         if need_box:
-            bank_t, fc_f, det_c, dm, tt, box_t = x
-        else:
-            bank_t, fc_f, det_c, dm, tt = x
+            box_t = rest[0]
+            rest = rest[1:]
+        if clsing:
+            cls_t = rest[0]
         # Gather this frame's prev-side link rows by provenance.
         in_win = src < T * N
         src_k = src % N
@@ -477,6 +501,10 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
             link_norm = apply_spatial_gate(
                 link_norm, bfl[src], jnp.pad(box_t, ((0, G), (0, 0))),
                 cfg)
+        if clsing:
+            link_norm = apply_class_gate(
+                link_norm, cfl[src][..., 0],
+                jnp.pad(cls_t, ((0, G), (0, 0)))[..., 0])
         new, end = net.apply(module.variables, fp_f, fc_pad, link, mask,
                              dm_pad, method=_new_end)
         new_s = new if raw else jax.nn.sigmoid(new)
@@ -544,6 +572,8 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
           jnp.arange(T, dtype=jnp.int32))
     if need_box:
         xs = xs + (feats["box"],)
+    if clsing:
+        xs = xs + (feats["cls"],)
     carry_f, ys = jax.lax.scan(step, carry0, xs)
     mask_f, ids_f, ages_f, next_id_f, missed_f, src_f = carry_f[:6]
     final_feats = {k: flat(feats[k], state0.feats[k])[src_f] for k in feats}
@@ -560,8 +590,8 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
 
 def track_sequence(module: TrackingModule, crops, points, point_mask,
                    det_mask, compact_capacity: int | None = None,
-                   extract_chunk: int | None = None, boxes=None
-                   ) -> Dict[str, jnp.ndarray]:
+                   extract_chunk: int | None = None, boxes=None,
+                   det_cls=None) -> Dict[str, jnp.ndarray]:
     """Track one sequence of ``T`` frames of padded detections.
 
     crops [T, N, H, W, 3] (or None), points [T, N, P, C] (or None),
@@ -585,6 +615,8 @@ def track_sequence(module: TrackingModule, crops, points, point_mask,
         feats = module.extract(crops, points, point_mask, det_mask)
     if boxes is not None and module.carry_boxes:
         feats["box"] = jnp.asarray(boxes, jnp.float32)  # [T, N, 4]
+    if det_cls is not None and module.class_gating:
+        feats["cls"] = jnp.asarray(det_cls, jnp.float32)[..., None]
     out, _ = _scan_track(module, feats, det_mask)
     out["n_dropped"] = n_valid - jnp.sum(det_mask.astype(jnp.int32))
     return out
@@ -603,7 +635,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
                                boxes3d=None,
                                velo_to_rect=None,
                                point_source: str = "frustum",
-                               dead_sensor: str | None = None
+                               dead_sensor: str | None = None,
+                               det_cls=None
                                ) -> Dict[str, jnp.ndarray]:
     """Track one sequence from RAW frames — full on-device preprocessing.
 
@@ -666,6 +699,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         feats = module.extract(crops, points, point_mask, det_mask)
         if module.carry_boxes:
             feats["box"] = boxes.astype(jnp.float32)
+        if det_cls is not None and module.class_gating:
+            feats["cls"] = det_cls.astype(jnp.float32)[..., None]
         out, final = _scan_track(module, feats, det_mask, state0=state0)
         out["n_dropped"] = jnp.int32(0)   # per-slot path never drops
     else:
@@ -705,6 +740,8 @@ def track_sequence_from_frames(module: TrackingModule, images, clouds,
         feats, kept = _scatter_feats(feats_c, idx, taken, T, N)
         if module.carry_boxes:
             feats["box"] = boxes.astype(jnp.float32)
+        if det_cls is not None and module.class_gating:
+            feats["cls"] = det_cls.astype(jnp.float32)[..., None]
         out, final = _scan_track(module, feats, kept, state0=state0)
         out["n_dropped"] = n_valid - jnp.sum(kept.astype(jnp.int32))
     if return_state:

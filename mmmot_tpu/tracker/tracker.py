@@ -60,7 +60,7 @@ def init_state(feat_dims: Dict[str, int], num_slots: int,
     # KITTI pixel coordinates (~1e3) to +-4 px, enough to corrupt gate IoUs.
     return TrackerState(
         feats={k: jnp.zeros((num_slots, d),
-                            jnp.float32 if k in ("box", "boxvel") else dtype)
+                            jnp.float32 if k in ("box", "boxvel", "cls") else dtype)
                for k, d in feat_dims.items()},
         mask=jnp.zeros((num_slots,), bool),
         ids=jnp.full((num_slots,), -1, jnp.int32),
@@ -93,6 +93,17 @@ def apply_spatial_gate(link, box_prev, box_curr, cfg: AssocConfig):
         link = jnp.where(iou >= cfg.iou_gate, link,
                          jnp.asarray(NEG, link.dtype))
     return link
+
+
+def apply_class_gate(link, cls_prev, cls_curr):
+    """Joint multi-class association (assoc.class_gate): forbid links
+    between detections of different class groups via the assoc ``NEG``
+    sentinel (TPU-native addition — the reference is single-class per
+    run).  ``cls_prev``/``cls_curr`` are [.., N] class-group ids."""
+    from mmmot_tpu.assoc.cost import NEG
+
+    same = cls_prev[..., :, None] == cls_curr[..., None, :]
+    return jnp.where(same, link, jnp.asarray(NEG, link.dtype))
 
 
 def assign_ids(state: TrackerState, dec: Decisions, det_mask
@@ -215,6 +226,12 @@ class TrackingModule:
         coverage both reads them and derives per-track velocities."""
         return self.spatial_gating or self.ghost_coverage
 
+    @property
+    def class_gating(self) -> bool:
+        """Joint multi-class association — the pipeline must then carry
+        per-detection class-group ids (``feats["cls"]``)."""
+        return self.assoc_cfg.class_gate
+
     def extract(self, crops, points, point_mask, det_mask):
         if "quant_int8" in self.variables:
             # Int8-quantized appearance trunk (models/quantize.py): the
@@ -264,6 +281,8 @@ class TrackingModule:
             dims["box"] = 4
         if self.ghost_coverage:
             dims["boxvel"] = 4
+        if self.class_gating:
+            dims["cls"] = 1
         return self.make_state0(dims, num_slots)
 
     def _affinity_pallas(self, feats_prev, feats_curr, mask_prev, mask_curr):
@@ -363,6 +382,13 @@ class TrackingModule:
                     "path needs its boxes argument)")
             link = apply_spatial_gate(link, state.feats["box"],
                                       feats["box"], self.assoc_cfg)
+        if self.class_gating:
+            if "cls" not in feats:
+                raise ValueError(
+                    "class_gate needs per-detection class ids: carry them "
+                    "as feats['cls'] (the KITTI paths do via det_cls)")
+            link = apply_class_gate(link, state.feats["cls"][..., 0],
+                                    feats["cls"][..., 0])
         raw = self.assoc_cfg.raw_new_end
         new_s = aff.new if raw else jax.nn.sigmoid(aff.new)
         end_s = aff.end if raw else jax.nn.sigmoid(aff.end)
@@ -484,13 +510,16 @@ class TrackingModule:
         )
 
     def predict(self, state: TrackerState, crops, points, point_mask,
-                det_mask, boxes=None
+                det_mask, boxes=None, det_cls=None
                 ) -> Tuple[TrackerState, Dict[str, jnp.ndarray]]:
         """Full per-frame update (reference: TrackingModule.predict).
 
         ``boxes`` [N, 4] (l, t, r, b) is required when the spatial gate is
-        configured (``iou_gate``/``iou_weight``)."""
+        configured (``iou_gate``/``iou_weight``); ``det_cls`` [N]
+        class-group ids when ``class_gate`` is on."""
         feats = self.extract(crops, points, point_mask, det_mask)
         if boxes is not None and self.carry_boxes:
             feats["box"] = jnp.asarray(boxes, jnp.float32)
+        if det_cls is not None and self.class_gating:
+            feats["cls"] = jnp.asarray(det_cls, jnp.float32)[..., None]
         return self.step_from_feats(state, feats, det_mask)

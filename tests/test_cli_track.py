@@ -431,6 +431,94 @@ def test_ghost_coverage_streams_through_runner(kitti_tree, tmp_path):
         assert np.isfinite(np.asarray(g.bbox, float)).all()
 
 
+def test_joint_multiclass_single_pass(kitti_tree, tmp_path):
+    """track_class 'All' + assoc.class_gate: ONE tracking pass covers every
+    class — per-class devkit/HOTA summaries come from the one result set,
+    result rows carry each detection's own type, and every track id is
+    class-pure (the gate forbids cross-class links)."""
+    import yaml
+
+    from mmmot_tpu.cli.track import main
+    from mmmot_tpu.data.kitti_io import read_kitti_tracking_labels
+
+    base = yaml.safe_load(open("experiments/tiny_debug/config.yaml"))
+    base["data"] = {"max_dets": 4, "crop_size": [32, 32], "point_len": 16,
+                    "root": kitti_tree, "track_class": "All"}
+    base["assoc"] = {"solver": "auction", "class_gate": True}
+    base["name"] = "tiny_kitti_joint"
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    stats = main(["--config", cfg_path, "--cpu", "--window", "2",
+                  "--result-path", str(tmp_path / "results")])
+    assert stats["n_dropped"] == 0
+    assert "metrics_by_class" in stats and "hota_by_class" in stats
+    res_dir = tmp_path / "results" / "tiny_kitti_joint" / "latest"
+    for c in ("car", "pedestrian", "cyclist"):
+        assert (res_dir / f"summary_{c}.txt").exists(), c
+        assert stats["metrics_by_class"][c] is not None
+    # Both classes tracked in the one pass, with their own types; recall
+    # is 1.0 per class on oracle dets (every detection emitted).
+    assert stats["metrics_by_class"]["car"].recall == 1.0
+    assert stats["metrics_by_class"]["pedestrian"].recall == 1.0
+    frames = read_kitti_tracking_labels(str(res_dir / "0000.txt"))
+    objs = [o for objs_f in frames.values() for o in objs_f]
+    types = {o.obj_type for o in objs}
+    assert types == {"Car", "Pedestrian"}
+    # Class purity: no track id spans two classes.
+    id2types = {}
+    for o in objs:
+        id2types.setdefault(o.track_id, set()).add(o.obj_type)
+    assert all(len(ts) == 1 for ts in id2types.values()), id2types
+
+
+def test_class_gate_forbids_crossclass_links():
+    """Identical appearance, different classes: the class gate must force a
+    FRESH track instead of a cross-class link."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmot_tpu.config import AssocConfig
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 2, 4, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    sig = jax.random.normal(jax.random.PRNGKey(5), (32, 32, 3))
+    sigp = jax.random.normal(jax.random.PRNGKey(5), (P, 4))
+    crops = jnp.tile(sig[None, None], (T, Ns, 1, 1, 1))
+    points = jnp.tile(sigp[None, None], (T, Ns, 1, 1))
+    pm = jnp.ones((T, Ns, P), bool)
+    dm = jnp.zeros((T, Ns), bool).at[:, 0].set(True)
+
+    def run(cls_arr, gate):
+        m = TrackingModule(net, vars_,
+                           AssocConfig(solver="auction", class_gate=gate))
+        return np.asarray(jax.jit(
+            lambda c, p, q, d, k: track_sequence(m, c, p, q, d,
+                                                 det_cls=k))(
+            crops, points, pm, dm, jnp.asarray(cls_arr, jnp.int32))["ids"])
+
+    same = np.zeros((T, Ns), np.int32)
+    ids_same = run(same, True)
+    assert ids_same[0, 0] == ids_same[1, 0], \
+        "same class + identical appearance must link"
+    diff = same.copy()
+    diff[1, 0] = 1          # frame 1's det is a different class
+    ids_diff = run(diff, True)
+    assert ids_diff[0, 0] != ids_diff[1, 0], \
+        "class gate must forbid the cross-class link"
+
+
 def test_submission_zip_packaging(kitti_tree, tmp_path):
     """--submission-zip packages the tracked sequences' result txts (and
     only them: devkit side-products and sweep dirs are excluded) in the
