@@ -2,16 +2,21 @@
 
 The reference trains/evaluates per class (its devkit scores car and
 pedestrian separately; the released models are car models).  This script
-demonstrates the same per-class workflow end-to-end on the REAL streaming
-pipeline at flagship scale: a fabricated multi-class tree
-(scripts/make_bench_tree.py ``pedestrians>0``), one short training per
-class (``data.track_class`` filters the dataset), devkit + HOTA scoring of
-the held-out sequence per class.  Oracle detections — the point is the
-multi-class capability, not detector noise (scripts/real_quality_run.py
-owns that story for cars).
+demonstrates BOTH multi-class workflows end-to-end on the REAL streaming
+pipeline at flagship scale over a fabricated multi-class tree
+(scripts/make_bench_tree.py ``pedestrians>0``), with devkit + HOTA scoring
+of the held-out sequence per class:
+
+* per-class (default): one training + one tracking pass per
+  ``data.track_class`` — the reference-shaped workflow;
+* ``--joint``: ONE model trained on every class (``track_class: All``)
+  and ONE tracking pass with class-gated association
+  (``assoc.class_gate`` — cross-class links forbidden via the NEG
+  sentinel), per-class metrics scored from the single result set.
+  Halves the serving cost of the per-class loop.
 
     python scripts/multiclass_run.py [--root /tmp/kitti_mc]
-        [--epochs 6] [--steps-per-epoch 40]
+        [--epochs 6] [--steps-per-epoch 40] [--joint]
 """
 
 from __future__ import annotations
@@ -43,6 +48,11 @@ def main():
                          "as in scripts/real_quality_run.py)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--joint", action="store_true",
+                    help="JOINT single-pass mode: one model on every "
+                         "class (track_class All) + one class-gated "
+                         "tracking pass, per-class scoring from the one "
+                         "result set")
     args = ap.parse_args()
 
     if args.cpu:
@@ -84,9 +94,12 @@ def main():
         assoc = dataclasses.replace(
             assoc, use_det_scores=True, raw_new_end=True,
             revival_window=2, iou_weight=1.0, iou_gate=0.1)
+    if args.joint:
+        assoc = dataclasses.replace(assoc, class_gate=True)
 
     results = {}
-    for cls in ("Car", "Pedestrian"):
+    classes = ("All",) if args.joint else ("Car", "Pedestrian")
+    for cls in classes:
         cfg = base.replace(
             assoc=assoc,
             data=dataclasses.replace(base.data, root=args.root,
@@ -129,26 +142,49 @@ def main():
             cfg.assoc)
         stats = track_kitti_sequences(
             module, cfg.data, os.path.join("results", "multiclass",
-                                           args.det_source, cls.lower()),
+                                           ("joint_" if args.joint else "")
+                                           + args.det_source, cls.lower()),
             sequences=[val_seq], window=64, evaluate=True)
-        m = stats["metrics"]
-        row = {"mota": round(float(m.mota), 4),
-               "motp": round(float(m.motp), 4),
-               "ids": int(m.id_switches),
-               "recall": round(float(m.recall), 4),
-               "precision": round(float(m.precision), 4),
-               "n_gt": int(m.n_gt),
-               "train_seconds": round(train_s, 1)}
-        if "hota" in stats:
-            row["hota"] = round(float(stats["hota"].hota), 4)
-        print(f"[{cls}] {row}", flush=True)
-        results[cls] = row
 
+        def _row(m, hota, tsec):
+            row = {"mota": round(float(m.mota), 4),
+                   "motp": round(float(m.motp), 4),
+                   "ids": int(m.id_switches),
+                   "recall": round(float(m.recall), 4),
+                   "precision": round(float(m.precision), 4),
+                   "n_gt": int(m.n_gt),
+                   "train_seconds": tsec}
+            if hota is not None:
+                row["hota"] = round(float(hota.hota), 4)
+            return row
+
+        if args.joint:
+            # ONE pass: per-class rows from the single result set; the
+            # training cost is shared (recorded once per class for
+            # comparability with the per-class rows, but it was paid once).
+            for c in ("car", "pedestrian"):
+                m = stats["metrics_by_class"][c]
+                if m.n_gt == 0:
+                    continue
+                row = _row(m, stats.get("hota_by_class", {}).get(c),
+                           round(train_s, 1))
+                row["single_pass"] = True
+                print(f"[joint/{c}] {row}", flush=True)
+                results[c.capitalize()] = row
+        else:
+            row = _row(stats["metrics"], stats.get("hota"),
+                       round(train_s, 1))
+            print(f"[{cls}] {row}", flush=True)
+            results[cls] = row
+
+    mode = ("JOINT single-pass (one model on every class, class-gated "
+            "association, per-class metrics from ONE tracking pass)"
+            if args.joint else
+            "Per-class workflow (one training + tracking pass per class)")
     section = {
-        "what": "Per-class multi-class workflow at flagship scale on the "
-                "REAL streaming path: fabricated tree with 16 Car + 6 "
-                "Pedestrian tracks/sequence, one short training per "
-                "data.track_class, devkit+HOTA scoring of the held-out "
+        "what": f"{mode} at flagship scale on the REAL streaming path: "
+                "fabricated tree with 16 Car + 6 Pedestrian "
+                "tracks/sequence, devkit+HOTA scoring of the held-out "
                 "sequence per class."
                 + (" NOISY detections with the full mitigation stack "
                    "(y_det + revival_window=2 + spatial gate)."
@@ -156,8 +192,10 @@ def main():
         "command": (f"python scripts/multiclass_run.py --epochs "
                     f"{args.epochs} --steps-per-epoch "
                     f"{args.steps_per_epoch} --det-source "
-                    f"{args.det_source}"),
+                    f"{args.det_source}"
+                    + (" --joint" if args.joint else "")),
         "tiny": args.tiny,
+        "joint": args.joint,
         "val_sequence": val_seq,
         "classes": results,
     }
@@ -167,11 +205,13 @@ def main():
             doc = json.load(fh)
     if "classes" in doc:        # pre-section format: it was the oracle run
         doc = {"oracle": doc}
-    doc[args.det_source] = section
+    doc[("joint_" if args.joint else "") + args.det_source] = section
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(doc, fh, indent=2)
-    print(f"wrote {args.out} [{args.det_source}]", flush=True)
+    print(f"wrote {args.out} "
+          f"[{('joint_' if args.joint else '') + args.det_source}]",
+          flush=True)
 
 
 if __name__ == "__main__":
