@@ -1,0 +1,201 @@
+"""Adversarial association study: settle ``gnn_rounds`` (SURVEY §2.8).
+
+The standard noisy regime (scripts/real_quality_run.py) keeps every track
+appearance-distinguishable, so message passing never gets to matter.  This
+script builds the ADVERSARIAL tree (scripts/make_bench_tree.py knobs):
+
+* **identical-appearance clones** — car textures come from only
+  ``--clone-groups`` signatures; clones share a y-band with opposing
+  velocities so their paths CROSS;
+* **crowded frames** — ``--cars`` tracks push the valid count toward N;
+* **occlusion-correlated dropout** — the simulated detector drops the
+  occluded (smaller) box exactly while boxes overlap, so misses cluster
+  at crossings, where identity is hardest.
+
+Then it trains one model per ``gnn_rounds`` setting (the reference's
+affinity module is literally ``gcn.py`` — message passing exists precisely
+for look-alike discrimination) and scores each on the held-out sequence:
+
+* ``plain``  — appearance-only association (reference-shaped);
+* ``stack``  — y_det LP rejection + revival_window=2 + spatial gate
+  (+ coverage), the production mitigation stack.
+
+``gnn_rounds > 0`` disables the fused Pallas kernel AND both hybrid
+pre-solves (mask-dependent features), so each row also records the
+runner's end-to-end FPS — the quality-vs-throughput price of message
+passing in one table.  Results land in results/adversarial_gnn.json.
+
+    python scripts/adversarial_gnn_run.py [--gnn 0 1 2] [--epochs 10]
+    python scripts/adversarial_gnn_run.py --tiny --cpu     # CI smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--root", default="/tmp/kitti_adv")
+    ap.add_argument("--seqs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--cars", type=int, default=24)
+    ap.add_argument("--clone-groups", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--steps-per-epoch", type=int, default=60)
+    ap.add_argument("--gnn", type=int, nargs="+", default=[0, 2])
+    ap.add_argument("--crop", type=int, default=112)
+    ap.add_argument("--point-len", type=int, default=256)
+    ap.add_argument("--out", default="results/adversarial_gnn.json")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        from mmmot_tpu.utils.jax_setup import force_cpu
+
+        force_cpu()
+
+    import jax
+    import numpy as np
+
+    from mmmot_tpu.configs import flagship, tiny
+    from mmmot_tpu.data.augment import augment_batch
+    from mmmot_tpu.data.kitti_loader import KittiPairLoader
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.kitti_runner import track_kitti_sequences
+    from mmmot_tpu.train import create_train_state, train_step
+    from mmmot_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    if not os.path.isdir(os.path.join(args.root, "detections", "noisy")):
+        print(f"building ADVERSARIAL tree at {args.root} "
+              f"({args.seqs}x{args.frames}, {args.cars} cars in "
+              f"{args.clone_groups} clone groups, occlusion dropout) ...",
+              flush=True)
+        from scripts.make_bench_tree import build_tree
+
+        build_tree(args.root, n_seqs=args.seqs, T=args.frames,
+                   n_cars=args.cars, clone_groups=args.clone_groups,
+                   occl_dropout=True)
+
+    seq_names = [f"{i:04d}" for i in range(args.seqs)]
+    train_seqs, val_seq = seq_names[:-1], seq_names[-1]
+
+    rows = {}
+    for rounds in args.gnn:
+        base = tiny(crop=32, max_dets=32, point_len=32) if args.tiny \
+            else flagship(crop=args.crop, point_len=args.point_len)
+        cfg = base.replace(
+            model=dataclasses.replace(
+                base.model,
+                affinity=dataclasses.replace(base.model.affinity,
+                                             gnn_rounds=rounds)),
+            data=dataclasses.replace(base.data, root=args.root,
+                                     det_source="noisy", max_dets=32,
+                                     packed_cache=True),
+            train=dataclasses.replace(
+                base.train, epochs=args.epochs, batch_size=4, lr=3e-4,
+                lr_schedule="cosine", warmup_steps=60,
+                compact_capacity=0 if args.tiny else 128))
+        net = model_entry(cfg.model)
+        loader = KittiPairLoader(cfg.data, seed=0,
+                                 sequences=tuple(train_seqs))
+        batch_iter = loader.batches(cfg.train.batch_size)
+        key = jax.random.PRNGKey(0)
+        state = create_train_state(net, cfg.train, key, next(batch_iter),
+                                   steps_per_epoch=args.steps_per_epoch)
+
+        def _step(s, b, r):
+            ra, rd = jax.random.split(r)
+            b = augment_batch(ra, b)
+            return train_step(net, s, b, rd,
+                              loss_weights=cfg.train.loss_weights,
+                              compact_capacity=cfg.train.compact_capacity)
+
+        step_fn = jax.jit(_step)
+        t0 = time.time()
+        for epoch in range(cfg.train.epochs):
+            losses = []
+            for _ in range(args.steps_per_epoch):
+                state, metrics = step_fn(
+                    state, next(batch_iter),
+                    jax.random.fold_in(key, int(state.step)))
+                losses.append(float(metrics["total"]))
+            print(f"[gnn={rounds}] epoch {epoch}: "
+                  f"loss {np.mean(losses):.4f}", flush=True)
+        train_s = time.time() - t0
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def run(tag, assoc):
+            module = TrackingModule(net, variables, assoc)
+            stats = track_kitti_sequences(
+                module, cfg.data,
+                os.path.join("results", "adv_gnn", f"g{rounds}_{tag}"),
+                sequences=[val_seq], window=64, evaluate=True)
+            m = stats["metrics"]
+            row = {"mota": round(float(m.mota), 4),
+                   "ids": int(m.id_switches), "frag": int(m.fragments),
+                   "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
+                   "recall": round(float(m.recall), 4),
+                   "precision": round(float(m.precision), 4),
+                   "pipeline_fps": round(float(stats["fps"]), 1),
+                   "train_seconds": round(train_s, 1)}
+            if "hota" in stats:
+                row["hota"] = round(float(stats["hota"].hota), 4)
+                row["assa"] = round(float(stats["hota"].assa), 4)
+            print(f"[gnn={rounds}] {tag:8s} {row}", flush=True)
+            return row
+
+        rows[f"gnn{rounds}_plain"] = run("plain", cfg.assoc)
+        stack = dataclasses.replace(
+            cfg.assoc, use_det_scores=True, raw_new_end=True,
+            revival_window=2, iou_weight=1.0, iou_gate=0.1,
+            ghost_coverage=True)
+        rows[f"gnn{rounds}_stack"] = run("stack", stack)
+
+    section = {
+        "what": "ADVERSARIAL association regime: identical-appearance "
+                "clone groups with crossing paths, crowded frames, "
+                "occlusion-correlated detector dropout — the setting "
+                "message passing (reference models/gcn.py) exists for.  "
+                "One model per gnn_rounds, plain + full-stack association "
+                "on the held-out sequence.  gnn_rounds > 0 runs the XLA "
+                "affinity (no fused kernel) and, for the stack, the "
+                "fully sequential scan (hybrid pre-solves are unsound "
+                "with mask-dependent features) — pipeline_fps records "
+                "that price end-to-end.",
+        "command": (f"python scripts/adversarial_gnn_run.py --epochs "
+                    f"{args.epochs} --steps-per-epoch "
+                    f"{args.steps_per_epoch} --gnn "
+                    + " ".join(map(str, args.gnn))),
+        "tiny": args.tiny,
+        "crop": args.crop, "point_len": args.point_len,
+        "cars": args.cars, "clone_groups": args.clone_groups,
+        "val_sequence": val_seq,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            doc = json.load(fh)
+    doc["adversarial"] = section
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    print(f"wrote {args.out} [adversarial]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,15 +42,43 @@ P2 = np.array([[720.0, 0.0, 624.0, 0.0], [0.0, 720.0, 192.0, 0.0],
                [0.0, 0.0, 1.0, 0.0]])
 
 
+def _box_iou(a, b):
+    l = max(a[0], b[0]); t = max(a[1], b[1])
+    r = min(a[2], b[2]); bo = min(a[3], b[3])
+    inter = max(0.0, r - l) * max(0.0, bo - t)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(ua - inter, 1e-9)
+
+
 def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
-                jitter=0.02, fp_rate=1.2):
-    """Simulate a detector over per-sequence GT ``objs`` (see module doc)."""
+                jitter=0.02, fp_rate=1.2, occl_dropout=False):
+    """Simulate a detector over per-sequence GT ``objs`` (see module doc).
+
+    ``occl_dropout``: OCCLUSION-CORRELATED misses (the adversarial
+    regime): whenever two GT boxes overlap (IoU > 0.3), the smaller one is
+    dropped with high probability for exactly those frames — misses now
+    cluster at crossings, where identity is hardest, instead of landing
+    at random times like the burst/i.i.d. model.
+    """
     by_track = defaultdict(list)
     for o in objs:
         by_track[o.track_id].append(o)
     by_frame = defaultdict(list)
     for o in objs:
         by_frame[o.frame].append(o)
+
+    occluded = set()            # (frame, track_id) pairs to drop
+    if occl_dropout:
+        for t, frame_objs in by_frame.items():
+            for i, a in enumerate(frame_objs):
+                for b in frame_objs[i + 1:]:
+                    if _box_iou(a.bbox, b.bbox) > 0.3:
+                        small = a if ((a.bbox[2] - a.bbox[0])
+                                      * (a.bbox[3] - a.bbox[1])
+                                      < (b.bbox[2] - b.bbox[0])
+                                      * (b.bbox[3] - b.bbox[1])) else b
+                        if rng.random() < 0.85:
+                            occluded.add((t, small.track_id))
 
     dets = []
     for k in sorted(by_track):
@@ -61,7 +89,8 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
             f0 = int(rng.choice(frames))
             drop.update(range(f0, f0 + int(rng.integers(1, 4))))
         for o in tobjs:
-            if o.frame in drop or rng.random() < iid_miss:
+            if o.frame in drop or rng.random() < iid_miss \
+                    or (o.frame, o.track_id) in occluded:
                 continue
             l, t, r, b = [float(x) for x in o.bbox]
             w, h = r - l, b - t
@@ -117,11 +146,25 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
     return dets
 
 
-def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0):
+def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
+               n_cars=16, clone_groups=0, occl_dropout=False):
     """``pedestrians`` adds that many Pedestrian tracks per sequence
     (smaller, slower boxes; distinct track-id range) — multi-class trees
     for ``track_class`` runs.  Default 0 keeps existing trees and their
-    packed-cache keys byte-identical."""
+    packed-cache keys byte-identical.
+
+    Adversarial regime knobs (VERDICT r3 #4 — make association HARD):
+
+    * ``clone_groups`` > 0: car appearances come from only that many
+      distinct (color, stripe) signatures — tracks within a group are
+      IDENTICAL in texture, so appearance alone cannot separate them and
+      the association must lean on context (GNN rounds / spatial prior).
+      Clones of a group share a y-band and get opposing velocities, so
+      they actually CROSS.
+    * ``n_cars`` > 16: crowded frames (push the valid count toward N).
+    * ``occl_dropout``: the noisy detector drops occluded (smaller)
+      boxes exactly while boxes overlap — misses cluster at crossings.
+    """
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -131,9 +174,8 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
         os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
         os.makedirs(os.path.join(root, "calib"), exist_ok=True)
-        # tracks: 16 cars moving linearly (~12 visible/frame), plus
-        # optional pedestrians (narrow, tall, slow, id range 100+)
-        n_cars = 16
+        # tracks: n_cars cars moving linearly, plus optional pedestrians
+        # (narrow, tall, slow, id range 100+)
         n_tracks = n_cars + pedestrians
         x0 = rng.uniform(50, W - 200, n_tracks)
         y0 = rng.uniform(120, 260, n_tracks)
@@ -146,6 +188,25 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0):
         color = rng.integers(40, 255, (n_tracks, 3))
         stripe = rng.integers(6, 24, n_tracks)      # texture frequency
         depth = rng.uniform(8, 60, n_tracks)        # LiDAR cluster depth
+        if clone_groups:
+            # Identical-appearance clones: one signature per group; group
+            # members share a y-band and alternate velocity sign so their
+            # paths cross (the regime where look-alikes must be separated
+            # by context, not texture).
+            g_color = rng.integers(40, 255, (clone_groups, 3))
+            g_stripe = rng.integers(6, 24, clone_groups)
+            g_y = rng.uniform(120, 240, clone_groups)
+            g_w = rng.uniform(70, 150, clone_groups)
+            g_h = rng.uniform(45, 75, clone_groups)
+            for k in range(n_cars):
+                g = k % clone_groups
+                color[k] = g_color[g]
+                stripe[k] = g_stripe[g]
+                y0[k] = g_y[g] + rng.uniform(-8, 8)
+                bw[k] = g_w[g]
+                bh[k] = g_h[g]
+                vx[k] = (1 if (k // clone_groups) % 2 == 0 else -1) * \
+                    rng.uniform(1.2, 2.5)
         # Contiguous visibility spans (enter/exit, no blinking): association
         # is strictly adjacent-frame by default (like the reference), so any
         # within-track gap necessarily costs an ID switch at reappearance —
@@ -207,7 +268,8 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0):
             os.makedirs(os.path.join(root, "detections", "noisy"),
                         exist_ok=True)
             dets = _noisy_dets(objs, T, np.random.default_rng(seed + 100
-                                                              + si))
+                                                              + si),
+                               occl_dropout=occl_dropout)
             write_kitti_result(dets, os.path.join(
                 root, "detections", "noisy", f"{seq}.txt"))
         with open(os.path.join(root, "calib", f"{seq}.txt"), "w") as f:
