@@ -43,6 +43,15 @@ def parse_args(argv=None):
     p.add_argument("--capacity", type=int, default=None,
                    help="compact-first extraction capacity for --window "
                         "(default W * max_dets — every slot)")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the appearance trunk to int8 before "
+                        "export (also enabled by the config's "
+                        "model.int8_appearance): the int8 graph + int8 "
+                        "weights are baked into the artifact.  Calibrates "
+                        "on real crops from --calib-root (default: the "
+                        "config's data.root)")
+    p.add_argument("--calib-root", default=None,
+                   help="KITTI tree for --int8 calibration crops")
     p.add_argument("--cpu", action="store_true",
                    help="run the exporting process itself on CPU")
     return p.parse_args(argv)
@@ -84,6 +93,23 @@ def main(argv=None):
         state = restore_checkpoint(args.load_path, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    int8 = args.int8 or cfg.model.int8_appearance
+    if int8:
+        import dataclasses
+        import os
+
+        from mmmot_tpu.models.quantize import quantize_for_inference
+
+        data_cfg = cfg.data
+        if args.calib_root:
+            data_cfg = dataclasses.replace(data_cfg, root=args.calib_root)
+        if not os.path.isdir(data_cfg.root):
+            raise SystemExit(
+                f"--int8 needs real calibration crops: no KITTI tree at "
+                f"{data_cfg.root!r} (point --calib-root at one)")
+        variables = quantize_for_inference(variables, cfg.model, data_cfg)
+        print(f"int8 appearance trunk calibrated on {data_cfg.root}")
+
     if args.window:
         exported, state0 = export_window_step(
             cfg, variables, args.window, (h, w), m,
@@ -92,13 +118,14 @@ def main(argv=None):
                       m, kind="window",
                       extra={"window": args.window,
                              "capacity": (args.capacity
-                                          or args.window * N)})
+                                          or args.window * N),
+                             "int8": int8})
         what = f"window({args.window}) step"
     else:
         exported, state0 = export_serve_step(
             cfg, variables, (h, w), m, platforms=platforms)
         save_artifact(args.out, exported, variables, state0, cfg, (h, w),
-                      m)
+                      m, extra={"int8": int8})
         what = "serve step"
     print(f"exported {cfg.name} {what} ({'/'.join(platforms)}, "
           f"image {h}x{w}, cloud {m}, N={N}) -> {args.out}")

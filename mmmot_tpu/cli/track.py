@@ -57,6 +57,12 @@ def parse_args(argv=None):
                         "submission zip (one <seq>.txt per sequence at the "
                         "archive root); pair with --no-eval on the test "
                         "split, which ships no GT labels")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the appearance trunk to int8 before "
+                        "tracking (also enabled by the config's "
+                        "model.int8_appearance) — calibrated on real "
+                        "crops from the data root; 2x MXU rate, measured "
+                        "metric-identical on the noisy regime")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -113,16 +119,28 @@ def main(argv=None):
         state = restore_checkpoint(args.load_path, state)
         log.info("loaded checkpoint from %s", args.load_path)
 
-    module = TrackingModule(
-        net, {"params": state.params, "batch_stats": state.batch_stats},
-        cfg.assoc)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    int8 = args.int8 or cfg.model.int8_appearance
+    real_data = os.path.isdir(cfg.data.root)
+    if int8 and real_data:
+        from mmmot_tpu.models.quantize import quantize_for_inference
+
+        seqs = args.sequences.split(",") if args.sequences else None
+        variables = quantize_for_inference(variables, cfg.model, cfg.data,
+                                           sequences=seqs)
+        log.info("int8 appearance trunk enabled "
+                 "(calibrated on real crops from %s)", cfg.data.root)
+    module = TrackingModule(net, variables, cfg.assoc)
     track = jax.jit(
         lambda c, p, pm, dm: track_sequence(module, c, p, pm, dm))
 
     res_dir = os.path.join(args.result_path, cfg.name, args.result_sha)
 
-    if os.path.isdir(cfg.data.root):
+    if real_data:
         return _track_kitti(args, cfg, module, res_dir, log)
+    if int8:
+        log.warning("--int8 ignored with synthetic data (no real crops "
+                    "to calibrate on)")
 
     ev = TrackingEvaluation(cls="car")
 

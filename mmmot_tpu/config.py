@@ -132,6 +132,19 @@ class ModelConfig:
                                        # (recompute in bwd; ~5x less
                                        # activation memory -> bigger train
                                        # batches / capacities)
+    int8_appearance: bool = False      # INFERENCE-ONLY: post-training int8
+                                       # quantization of the appearance
+                                       # trunk (models/quantize.py; the MXU
+                                       # runs int8 at 2x bf16 — measured
+                                       # 613.7 vs 455.1 FPS with metric-
+                                       # identical noisy-regime quality).
+                                       # Honored by the track/export CLIs,
+                                       # which calibrate on REAL crops from
+                                       # the data root after loading
+                                       # weights; ignored by training and
+                                       # model_entry (the flax model is
+                                       # unchanged — the quant pytree rides
+                                       # the variables dict).
 
     def __post_init__(self):
         # Single-modality operation (dead sensor; keep_single branches)

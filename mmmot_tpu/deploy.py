@@ -84,8 +84,10 @@ def _path_name(entry) -> str:
 
 
 def _skeleton(tree) -> Any:
-    """JSON-able structure record for a nested-dict pytree: dicts stay
-    dicts, leaves become their dtype name.
+    """JSON-able structure record for a nested pytree: dicts stay dicts,
+    tuples/lists become tagged nodes (JSON has no tuple, and the exported
+    call's pytree structure must match EXACTLY — the int8 quant pytree
+    carries a tuple of per-layer dicts), leaves become their dtype name.
 
     Two things npz keys alone cannot represent: EMPTY subtrees (e.g.
     ``batch_stats`` of a BN-free model flattens to zero entries and would
@@ -97,14 +99,24 @@ def _skeleton(tree) -> Any:
 
     if isinstance(tree, dict):
         return {k: _skeleton(v) for k, v in tree.items()}
+    if isinstance(tree, tuple):
+        return {"__tuple__": [_skeleton(v) for v in tree]}
+    if isinstance(tree, list):
+        return {"__list__": [_skeleton(v) for v in tree]}
     return str(np.asarray(tree).dtype)
 
 
 def _fill_from_npz(skel, npz, prefix=()) -> Any:
-    """Rebuild the nested dict described by ``skel`` from npz entries."""
+    """Rebuild the nested pytree described by ``skel`` from npz entries."""
     import numpy as np
 
     if isinstance(skel, dict):
+        if "__tuple__" in skel:
+            return tuple(_fill_from_npz(v, npz, prefix + (str(i),))
+                         for i, v in enumerate(skel["__tuple__"]))
+        if "__list__" in skel:
+            return [_fill_from_npz(v, npz, prefix + (str(i),))
+                    for i, v in enumerate(skel["__list__"])]
         return {k: _fill_from_npz(v, npz, prefix + (k,))
                 for k, v in skel.items()}
     arr = npz[_SEP.join(prefix)]

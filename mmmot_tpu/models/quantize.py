@@ -182,6 +182,56 @@ def with_int8_appearance(variables, cfg: AppearanceConfig, sample_crops):
     return {**variables, "quant_int8": quant}
 
 
+def quantize_for_inference(variables, model_cfg, data_cfg,
+                           sequences=None, max_frames: int = 8,
+                           n_crops: int = 256):
+    """Quantize the appearance trunk for a dataset (``model.int8_appearance``).
+
+    Calibration crops come from REAL frames of ``data_cfg.root``: a few
+    frames of the first sequence(s) are loaded, their detections cropped +
+    ImageNet-normalised ON DEVICE through the exact preprocessing the
+    tracker uses (ops/crop_resize.py), and abs-max activation scales are
+    measured on those — never on synthetic noise, whose statistics are
+    unrepresentative (quality rows in results/real_tree_quality.json are
+    calibrated this way; the int8 trunk measured METRIC-IDENTICAL to bf16
+    on the noisy regime at 1.35x the throughput).
+
+    Returns ``{**variables, "quant_int8": ...}``.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmot_tpu.data.kitti_dataset import KittiTrackingDataset
+    from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           normalize_crops)
+
+    ds = KittiTrackingDataset(data_cfg, max_cloud_points=4096)
+    seqs = list(sequences) if sequences else ds.sequences[:1]
+    crops_l = []
+    total = 0
+    for seq in seqs:
+        arrs = ds.load_sequence(seq, max_frames=max_frames)
+        images = jnp.asarray(arrs.images)
+        boxes = jnp.asarray(arrs.boxes)
+        dm = jnp.asarray(arrs.det_mask)
+        c = crop_and_resize_batched(
+            images.astype(jnp.float32), boxes,
+            tuple(model_cfg.appearance.crop_size), dm, method="mxu")
+        c = normalize_crops(c, scale=1.0 / 255.0)
+        valid = np.asarray(c)[np.asarray(dm)]
+        crops_l.append(valid)
+        total += len(valid)
+        if total >= n_crops:
+            break
+    calib = np.concatenate(crops_l)[:n_crops]
+    if len(calib) == 0:
+        raise ValueError(
+            f"no detections found in {data_cfg.root!r} to calibrate the "
+            "int8 trunk on (model.int8_appearance needs real crops)")
+    return with_int8_appearance(variables, model_cfg.appearance,
+                                jnp.asarray(calib))
+
+
 def _stage_scales(cfg: AppearanceConfig,
                   act_scales: Tuple[float, ...]) -> Tuple[float, ...]:
     plan = VGG_PLANS[cfg.depth]

@@ -149,6 +149,75 @@ def test_deployed_reset_and_padding(artifact, rng):
                           np.float32), frames[0]["proj"])
 
 
+def test_int8_artifact_roundtrip(artifact, rng, tmp_path):
+    """Int8 export variant: the quant pytree (which contains a TUPLE of
+    per-layer dicts) must survive the npz+manifest round-trip with its
+    exact pytree structure, and the deployed int8 program must reproduce
+    the live int8 step's ids."""
+    import jax.numpy as jnp
+
+    from mmmot_tpu.deploy import (DeployedTracker, export_serve_step,
+                                  save_artifact)
+    from mmmot_tpu.models.quantize import with_int8_appearance
+
+    cfg = artifact["cfg"]
+    crop = tuple(cfg.model.appearance.crop_size)
+    calib = jnp.asarray(rng.normal(0, 1, (32,) + crop + (3,)),
+                        jnp.float32)
+    qvars = with_int8_appearance(artifact["variables"],
+                                 cfg.model.appearance, calib)
+    exported, state0 = export_serve_step(cfg, qvars, (H, W), M,
+                                         platforms=("cpu",))
+    out = str(tmp_path / "int8_art")
+    save_artifact(out, exported, qvars, state0, cfg, (H, W), M,
+                  extra={"int8": True})
+    trk = DeployedTracker.load(out)
+    assert trk.manifest["int8"] is True
+    # Structure: the loaded weights carry the quant collection as a TUPLE.
+    assert isinstance(trk._weights["quant_int8"]["layers"], tuple)
+    assert trk._weights["quant_int8"]["layers"][0]["w"].dtype == np.int8
+
+    frames = _scene(rng)
+    art_q = dict(artifact, variables=qvars)
+    live = _live_ids(art_q, frames)
+    got = [trk.step(f["image"], f["cloud"], f["boxes"], f["proj"])[0]
+           for f in frames]
+    assert got == live
+
+
+def test_quantize_for_inference_on_real_tree(tmp_path):
+    """model.int8_appearance's calibration path: real crops from a KITTI
+    tree through the device preprocessing; the quantized module's features
+    stay close to float."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_cli_track import build_kitti_tree
+
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.models.quantize import quantize_for_inference
+    from mmmot_tpu.train import create_train_state
+
+    root = build_kitti_tree(tmp_path)
+    cfg = load_config(CFG_PATH)
+    import dataclasses
+
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, root=root, max_dets=4, crop_size=(32, 32), point_len=16))
+    net = model_entry(cfg.model)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    dummy = {"crops": jnp.zeros((1, 2, N, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, N, P, 4)),
+             "point_mask": jnp.ones((1, 2, N, P), bool),
+             "det_mask": jnp.ones((1, 2, N), bool)}
+    state = create_train_state(net, cfg.train, jax.random.PRNGKey(0),
+                               dummy)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    qvars = quantize_for_inference(variables, cfg.model, cfg.data)
+    assert "quant_int8" in qvars
+    assert len(qvars["quant_int8"]["layers"]) > 0
+
+
 def test_export_cli_and_serve_exported(tmp_path, rng):
     """mmmot-export writes an artifact the serve CLI runs with --exported:
     full NDJSON protocol (ready/track/reset/quit) without --config."""
