@@ -34,6 +34,7 @@ def test_noisy_experiment_exposes_mitigation_stack():
     assert cfg.assoc.use_det_scores and cfg.assoc.raw_new_end
     assert cfg.assoc.revival_window == 2
     assert cfg.assoc.iou_gate == 0.1 and cfg.assoc.iou_weight == 1.0
+    assert cfg.assoc.ghost_coverage
     assert cfg.data.det_source == "noisy"
     # The stack must resolve onto the ghost-pool hybrid pre-solve (the
     # throughput-preserving path), not the fully sequential scan.
@@ -44,7 +45,7 @@ def test_noisy_experiment_exposes_mitigation_stack():
     m = TrackingModule(net, {"params": {}}, cfg.assoc,
                        use_pallas_affinity=False)
     assert m.hybrid_presolve and not m.parallel_assoc
-    assert m.spatial_gating
+    assert m.spatial_gating and m.ghost_coverage and m.carry_boxes
 
 
 def test_unknown_key_rejected(tmp_path):
