@@ -10,9 +10,14 @@ round-trips.
 Workload: S sequences x T frames of full camera frames (uint8, KITTI-sized),
 LiDAR clouds of M points, N padded detection slots with KITTI-like valid
 density.  The default operating point is the REFERENCE-FAITHFUL scale (crop
-224, point_len 512 — SURVEY.md §2.5/§2.6); override via env for experiments.
-``vs_baseline`` compares against the reference's ~50 FPS single-GPU online
-tracker (KITTI leaderboard runtime ~0.02 s/frame, BASELINE.md).
+224, point_len 512 — SURVEY.md §2.5/§2.6) with the INT8 appearance trunk
+(the sanctioned serving point: measured metric-identical quality at 1.35x
+the bf16 throughput — results/real_tree_quality.json); the same run also
+times the bf16 program once and records ``config.bf16_fps``, and
+MMMOT_BENCH_INT8=0 makes bf16 the primary instead.  Override scale via env
+for experiments.  ``vs_baseline`` compares against the reference's ~50 FPS
+single-GPU online tracker (KITTI leaderboard runtime ~0.02 s/frame,
+BASELINE.md).
 
 Harness-robustness design (round-2 verdict: the driver's bench run timed out
 while the framework itself was healthy — the axon device tunnel stalls for
@@ -82,9 +87,16 @@ DET_MODE = os.environ.get("MMMOT_BENCH_DET", "") not in ("", "0")
 # as big batched matmuls and only gathers + heads + the LP stay sequential.
 REVIVAL = int(os.environ.get("MMMOT_BENCH_REVIVAL", 0))
 GATE_MODE = os.environ.get("MMMOT_BENCH_GATE", "") not in ("", "0")
-# Int8-quantized appearance trunk (models/quantize.py): PTQ design point —
-# the MXU runs int8 at 2x bf16, and the conv stack is ~85% of this pipeline.
-INT8_MODE = os.environ.get("MMMOT_BENCH_INT8", "") not in ("", "0")
+# Int8-quantized appearance trunk (models/quantize.py): the DEFAULT
+# serving point since round 4 — the MXU runs int8 at 2x bf16, the conv
+# stack is ~85% of this pipeline, and the quality price was measured to be
+# ZERO on the noisy real-tree regime (metric-identical rows in
+# results/real_tree_quality.json; association decisions are discrete and
+# quantization flipped none).  MMMOT_BENCH_INT8=0 benches the bf16
+# reference-faithful point instead; the default run ALSO times the bf16
+# program once and records it as config.bf16_fps so both numbers land in
+# one JSON line.
+INT8_MODE = os.environ.get("MMMOT_BENCH_INT8", "1") not in ("", "0")
 # Debug/smoke runs off-TPU ("" and "0" both mean the normal TPU path).
 CPU_MODE = os.environ.get("MMMOT_BENCH_CPU", "") not in ("", "0")
 N_RUNS = int(os.environ.get("MMMOT_BENCH_RUNS", 3))
@@ -218,6 +230,7 @@ def main():
         jax.block_until_ready(variables)
         hb("model_init", f"params inited on device (compact={compact})")
 
+    variables_f = variables      # float weights, kept for the bf16 row
     if INT8_MODE:
         # Calibrate on crops drawn from the same distribution THIS BENCH
         # feeds the trunk (uniform uint8 -> ImageNet normalisation).  That
@@ -330,9 +343,10 @@ def main():
 
     run_times = []
     fetch_info: dict = {}
+    secondary: dict = {}
 
     def emit_json(dropped) -> str:
-        extra = {}
+        extra = dict(secondary)
         if run_times:
             best = min(run_times)
         else:
@@ -468,6 +482,44 @@ def main():
         if "dropped" in fetch_info:
             dropped = fetch_info["dropped"]
             hb("verified", "late output fetch completed")
+
+    # Secondary bf16 row: the default run is int8 (the sanctioned serving
+    # point), but the bf16 reference-faithful number stays in the SAME
+    # JSON so both design points are recorded every round.  Passing the
+    # FLOAT variables to the same jitted fn compiles the bf16 graph (a
+    # warm persistent-cache load) and two timed runs land bf16_fps.
+    if INT8_MODE and n_dev == 1 and run_times \
+            and os.environ.get("MMMOT_BENCH_BOTH", "1") not in ("", "0") \
+            and remaining() > 90.0:
+        try:
+            tc = time.perf_counter()
+            if _cpu0 is not None and not CPU_MODE:
+                avals_f = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                   sharding=x.sharding),
+                    (variables_f, images, clouds, boxes, det_mask))
+                with jax.default_device(_cpu0):
+                    compiled_f = f.lower(*avals_f).compile()
+            else:
+                compiled_f = f.lower(variables_f, images, clouds, boxes,
+                                     det_mask).compile()
+            hb("bf16_compiled", f"{time.perf_counter() - tc:.1f}s")
+            bf16_times = []
+            for _ in range(2):
+                if remaining() < 30.0 and bf16_times:
+                    break
+                t0 = time.perf_counter()
+                outf = compiled_f(variables_f, images, clouds, boxes,
+                                  det_mask)
+                jax.block_until_ready(outf)
+                bf16_times.append(time.perf_counter() - t0)
+            secondary["bf16_fps"] = round(S * T / min(bf16_times) / n_dev,
+                                          2)
+            secondary["bf16_run_secs"] = [round(t, 3) for t in bf16_times]
+            hb("bf16", f"faithful bf16 point: {secondary['bf16_fps']} fps")
+        except Exception as e:      # never lose the primary number
+            hb("bf16_failed", repr(e))
+
     print(emit_json(dropped), flush=True)
     os._exit(0)  # don't let a wedged tunnel RPC hang interpreter teardown
 
