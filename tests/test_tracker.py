@@ -666,6 +666,10 @@ def test_windowed_streaming_invariance_across_configs():
         AssocConfig(solver="auction", revival_window=2),
         AssocConfig(solver="auction", revival_window=2, iou_weight=1.0,
                     iou_gate=0.05),
+        AssocConfig(solver="auction", revival_window=2, iou_weight=1.0,
+                    iou_gate=0.05, ghost_coverage=True),
+        AssocConfig(solver="auction", revival_window=2, use_det_scores=True,
+                    raw_new_end=True, ghost_coverage=True),
         AssocConfig(solver="sinkhorn"),
     ]
     for acfg in variants:
@@ -685,11 +689,26 @@ def test_windowed_streaming_invariance_across_configs():
                        module.init_state(Ns))
         st = module.init_state(Ns)
         chunks = []
+        gchunks = []
         for w0 in (0, 3):
             out, st = run(images[w0:w0 + 3], clouds[w0:w0 + 3],
                           boxes[w0:w0 + 3], det_mask[w0:w0 + 3], st)
             chunks.append(np.asarray(out["ids"]))
+            if acfg.ghost_coverage:
+                gchunks.append((np.asarray(out["ghost_ids"]),
+                                np.asarray(out["ghost_boxes"])))
         got = np.concatenate(chunks)
         np.testing.assert_array_equal(
             got, np.asarray(whole["ids"]),
             err_msg=f"windowed != whole for {acfg}")
+        if acfg.ghost_coverage:
+            # Coverage rows split across the window boundary (entry band +
+            # carried velocities) must equal the whole pass too.
+            np.testing.assert_array_equal(
+                np.concatenate([g[0] for g in gchunks]),
+                np.asarray(whole["ghost_ids"]),
+                err_msg=f"windowed ghost ids != whole for {acfg}")
+            np.testing.assert_allclose(
+                np.concatenate([g[1] for g in gchunks]),
+                np.asarray(whole["ghost_boxes"]), atol=1e-4,
+                err_msg=f"windowed ghost boxes != whole for {acfg}")
