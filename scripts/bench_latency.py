@@ -10,16 +10,21 @@ This script times exactly that unit — the same ``deploy._build_step``
 program ``mmmot-export`` serializes — at the reference-faithful operating
 point (crop 224, P 512, N 32 slots, 384x1248 frame, 16384-point cloud).
 
-Two numbers per weight mode (bf16 and int8 trunk):
+Three numbers per weight mode (bf16 and int8 trunk), ALL fetch-timed —
+``block_until_ready`` alone resolves early for some isolated executables
+under the axon tunnel and once produced a sub-FLOP-floor reading here
+(docs/PERFORMANCE.md "never trust a TPU timing without a fetch"):
 
-* **sync ms/frame** (p50/p90/p99/mean): each step host-timed with
-  ``block_until_ready`` — dispatch + execute + sync, the latency a
-  blocking single-request server observes.  Under the axon tunnel the
-  dispatch RPC inflates this; on a real TPU host dispatch is ~100 us.
+* **sync ms/frame** (p50/p90/p99/mean): each step's ids fetched to host —
+  dispatch + execute + d2h RTT, the latency a blocking remote client
+  observes.  Under the tunnel the fetch RTT (~30 ms) dominates; a
+  co-located host pays pipelined + ~0.1 ms.
 * **pipelined ms/frame**: K steps dispatched back-to-back (each consumes
   the previous state, so the device serializes them; the host does not
-  wait per step), blocked once at the end — pure device time per frame,
-  the throughput a pipelined server (prefetching client) sustains.
+  wait per step), one fetch at the end.
+* **device ms/frame**: the same step chained by ``lax.scan`` inside ONE
+  program (F frames per dispatch) — amortizes host dispatch away; the
+  pure device rate and the deployment shape for small capacities.
 
 Inputs are generated on device (`jax.random` inside jit) so no
 multi-hundred-KB h2d crosses the stall-prone tunnel per frame; real
@@ -142,6 +147,22 @@ def main():
     # pipelined chain.
     step = jax.jit(step_raw, donate_argnums=(1,))
 
+    # Device-only probe: the same step chained by lax.scan INSIDE one
+    # program (F frames/call), so the per-call host dispatch (flattening
+    # a several-hundred-leaf params pytree — milliseconds on a slow
+    # host core) is amortized away.  Everything passed as jit ARGS
+    # (closure device arrays are fetched d2h at every trace — tunnel
+    # trap, docs/PERFORMANCE.md).
+    def _scan_raw(vars_, state_d, ims, cls_, bxs, dms):
+        def body(st, f):
+            st2, ids, _ = step_raw(vars_, st, ims[f], cls_[f], bxs[f],
+                                   dms[f], proj_h)
+            return st2, ids
+        st, ids = jax.lax.scan(body, state_d, jnp.arange(F))
+        return st, ids[-1]
+
+    scan_step = jax.jit(_scan_raw, donate_argnums=(1,))
+
     module = TrackingModule(net, variables, cfg.assoc)
 
     def run_mode(vars_, tag):
@@ -153,19 +174,25 @@ def main():
         jax.block_until_ready(ids)
         hb(f"{tag}: compiled+first step {time.perf_counter() - t0:.1f}s")
 
-        # Sync latency: block on every step's ids (ids fetch-free sync;
-        # bench.py verified block_until_ready == fetch on this pipeline).
+        # Sync latency: HOST-FETCH every step's ids.  block_until_ready
+        # resolves EARLY for some isolated executables under the axon
+        # tunnel (docs/PERFORMANCE.md "never trust a TPU timing without a
+        # fetch" — a first cut of this script timed the bf16 step at
+        # 1.37 ms, below the 2.5 ms MXU-peak FLOP floor of 32 VGG16
+        # crops: impossible, hence fetch).  The (N,) int32 fetch itself
+        # is one small d2h RPC — part of what a real server pays to act
+        # on the ids.
         lat = []
         for k in range(STEPS):
             f = (k + 1) % F
             t0 = time.perf_counter()
             state, ids, _ = step(vars_, state, images[f], clouds[f],
                                  boxes[f], det_masks[f], proj_h)
-            jax.block_until_ready(ids)
+            np.asarray(ids)
             lat.append((time.perf_counter() - t0) * 1e3)
         lat = np.asarray(lat)
 
-        # Pipelined: dispatch the whole chain, block once.
+        # Pipelined: dispatch the whole chain, fetch once at the end.
         outs = []
         t0 = time.perf_counter()
         for k in range(STEPS):
@@ -173,8 +200,24 @@ def main():
             state, ids, _ = step(vars_, state, images[f], clouds[f],
                                  boxes[f], det_masks[f], proj_h)
             outs.append(ids)
-        jax.block_until_ready(outs[-1])
+        np.asarray(outs[-1])
         piped = (time.perf_counter() - t0) * 1e3 / STEPS
+
+        # Device-only rate via the in-graph scan chain (one dispatch per
+        # F frames).  Same per-frame math; isolates device time from
+        # host dispatch.
+        state = jax.device_put(_state_to_dict(_fresh_state(module, N)), dev)
+        state, ids = scan_step(vars_, state, images, clouds, boxes,
+                               det_masks)
+        np.asarray(ids)                                    # compile
+        rounds = max(1, STEPS // F)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            state, ids = scan_step(vars_, state, images, clouds, boxes,
+                                   det_masks)
+        np.asarray(ids)
+        dev_ms = (time.perf_counter() - t0) * 1e3 / (rounds * F)
+
         row = {
             "sync_ms_p50": round(float(np.percentile(lat, 50)), 3),
             "sync_ms_p90": round(float(np.percentile(lat, 90)), 3),
@@ -182,9 +225,12 @@ def main():
             "sync_ms_mean": round(float(lat.mean()), 3),
             "pipelined_ms": round(piped, 3),
             "pipelined_fps": round(1e3 / piped, 1),
+            "device_ms": round(dev_ms, 3),
+            "device_fps": round(1e3 / dev_ms, 1),
         }
         hb(f"{tag}: sync p50 {row['sync_ms_p50']} ms, "
-           f"pipelined {row['pipelined_ms']} ms/frame")
+           f"pipelined {row['pipelined_ms']} ms, "
+           f"device {row['device_ms']} ms/frame")
         return row
 
     result = {
