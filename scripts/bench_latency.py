@@ -35,7 +35,10 @@ docs/PERFORMANCE.md), so repeated shapes are genuine compute.
 
 Usage:  python scripts/bench_latency.py          # both modes, JSON line
 Env:    MMMOT_LAT_STEPS (default 100), MMMOT_LAT_CPU=1 (debug off-TPU),
-        MMMOT_LAT_INT8=0 (skip the int8 row)
+        MMMOT_LAT_INT8=0 (skip the int8 row),
+        MMMOT_LAT_PROFILE=<dir> (xplane trace of the device-scan probe;
+        summarize with scripts/profile_ops.py — the serving-step
+        speed-of-light accounting in docs/PERFORMANCE.md)
 """
 
 from __future__ import annotations
@@ -210,6 +213,16 @@ def main():
         state, ids = scan_step(vars_, state, images, clouds, boxes,
                                det_masks)
         np.asarray(ids)                                    # compile
+        prof_dir = os.environ.get("MMMOT_LAT_PROFILE")
+        if prof_dir:
+            # One traced F-frame round per mode: the xplane per-op table
+            # is the serving-step accounting (scripts/profile_ops.py).
+            from mmmot_tpu.utils.profiling import trace
+            with trace(os.path.join(prof_dir, tag)):
+                state, ids = scan_step(vars_, state, images, clouds,
+                                       boxes, det_masks)
+                np.asarray(ids)
+            hb(f"{tag}: xplane trace -> {prof_dir}/{tag}")
         rounds = max(1, STEPS // F)
         t0 = time.perf_counter()
         for _ in range(rounds):
