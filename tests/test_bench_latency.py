@@ -19,11 +19,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_latency_cpu_smoke(tmp_path):
     out = tmp_path / "latency.json"
     env = dict(os.environ)
+    prof = tmp_path / "prof"
     env.update({
         "MMMOT_LAT_CPU": "1",
         "MMMOT_LAT_STEPS": "3",
         "MMMOT_LAT_INT8": "0",
         "MMMOT_LAT_OUT": str(out),
+        "MMMOT_LAT_PROFILE": str(prof),
         "MMMOT_XLA_CACHE": str(tmp_path / "cache"),
     })
     proc = subprocess.run(
@@ -45,3 +47,8 @@ def test_latency_cpu_smoke(tmp_path):
     assert out.exists()
     saved = json.loads(out.read_text())
     assert saved["bf16"]["sync_ms_p50"] == row["sync_ms_p50"]
+    # MMMOT_LAT_PROFILE captured an xplane trace of the scan probe (the
+    # serving-step speed-of-light accounting in docs/PERFORMANCE.md).
+    import glob
+    assert glob.glob(str(prof / "bf16" / "**" / "*.xplane.pb"),
+                     recursive=True), "no xplane trace captured"
