@@ -232,22 +232,68 @@ def main():
 
     variables_f = variables      # float weights, kept for the bf16 row
     if INT8_MODE:
-        # Calibrate on crops drawn from the same distribution THIS BENCH
-        # feeds the trunk (uniform uint8 -> ImageNet normalisation).  That
-        # is representative for throughput only: real detection crops have
-        # very different activation statistics, so never reuse abs-max
-        # scales from here for accuracy claims — quality runs calibrate on
-        # real crops (scripts/real_quality_run.py --int8, tests likewise).
+        # The quant pytree is DETERMINISTIC here (PRNGKey(0) init weights +
+        # PRNGKey(7) calibration crops), so it is persisted to a repo-
+        # committed cache: re-deriving it measured ~185 s of the round-4
+        # bench wall (the calibration forward compiles a throwaway VGG
+        # program + dozens of small eager quantization ops, each a tunnel
+        # RPC).  A load is one file read + one h2d ship.  Refresh with
+        # MMMOT_BENCH_WRITE_CACHE=1 after model/quantize changes.
+        from flax import serialization as _ser
+
         from mmmot_tpu.models.quantize import with_int8_appearance
         from mmmot_tpu.ops.crop_resize import normalize_crops
 
-        calib = normalize_crops(jax.random.bits(
-            jax.random.PRNGKey(7), (64, CROP, CROP, 3), jnp.uint8))
-        variables = with_int8_appearance(variables, cfg.model.appearance,
-                                         calib)
-        jax.block_until_ready(variables)
-        hb("int8", "appearance trunk quantized "
-                   "(per-channel int8 weights, calibrated activations)")
+        def _canon(q):
+            # Tuples -> lists, leaves -> numpy: the SAME (serializable)
+            # treedef whether the pytree was computed or loaded.
+            if isinstance(q, (tuple, list)):
+                return [_canon(x) for x in q]
+            if isinstance(q, dict):
+                return {k: _canon(v) for k, v in q.items()}
+            return np.asarray(q)
+
+        qdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_cache")
+        qpath = os.path.join(qdir, f"quant_int8_crop{CROP}.msgpack")
+        refresh = os.environ.get("MMMOT_BENCH_WRITE_CACHE", "") not in (
+            "", "0")
+        quant = None
+        if os.path.exists(qpath) and not refresh:
+            try:
+                with open(qpath, "rb") as fh:
+                    blob = _ser.msgpack_restore(fh.read())
+                if (blob["crop"] == CROP
+                        and blob["depth"] == cfg.model.appearance.depth):
+                    quant = blob["quant"]
+                    hb("int8", f"quant pytree loaded from {qpath}")
+            except Exception as e:   # corrupt/stale cache: recompute
+                hb("int8_cache_failed", repr(e))
+        if quant is None:
+            # Calibrate on crops drawn from the same distribution THIS
+            # BENCH feeds the trunk (uniform uint8 -> ImageNet
+            # normalisation).  Representative for throughput only: real
+            # detection crops have very different activation statistics,
+            # so never reuse abs-max scales from here for accuracy claims —
+            # quality runs calibrate on real crops
+            # (scripts/real_quality_run.py --int8, tests likewise).
+            calib = normalize_crops(jax.random.bits(
+                jax.random.PRNGKey(7), (64, CROP, CROP, 3), jnp.uint8))
+            quant = _canon(with_int8_appearance(
+                variables, cfg.model.appearance, calib)["quant_int8"])
+            hb("int8", "appearance trunk quantized "
+                       "(per-channel int8 weights, calibrated activations)")
+            if refresh or not os.path.exists(qpath):
+                os.makedirs(qdir, exist_ok=True)
+                with open(qpath, "wb") as fh:
+                    fh.write(_ser.msgpack_serialize(
+                        {"crop": CROP,
+                         "depth": cfg.model.appearance.depth,
+                         "quant": quant}))
+                hb("int8_cache", f"quant pytree saved to {qpath}")
+        variables = {**variables,
+                     "quant_int8": jax.device_put(quant, jax.devices()[0])}
+        jax.block_until_ready(variables["quant_int8"])
 
     # MMMOT_BENCH_PALLAS: "1" force the fused affinity kernel, "0" force
     # the XLA modules, unset = auto (kernel ON for the TPU backend).

@@ -275,7 +275,40 @@ class AssocConfig:
                                        # of an FP per frame whenever the
                                        # track actually ended.  Requires
                                        # box-carrying pipelines (raw-frames
-                                       # paths / boxes=...).
+                                       # paths / boxes=...).  Coverage rows
+                                       # carry the track's LAST det-head
+                                       # confidence as their score, so
+                                       # downstream consumers can threshold
+                                       # coverage independently of real
+                                       # detections.
+    coverage_max_miss: int = 0         # > 0: emit coverage boxes only for
+                                       # the first m <= revival_window
+                                       # missed frames (the REVIVAL still
+                                       # spans the full window — this caps
+                                       # only the emitted boxes).  0 = no
+                                       # cap (emit while missed <= K).
+                                       # The FP/FRAG operating-point knob:
+                                       # each extra emitted frame buys FRAG
+                                       # /FN coverage but costs an FP when
+                                       # the track actually ended.
+    coverage_min_score: float = 0.0    # emit a ghost's coverage box only
+                                       # while its track's last det-head
+                                       # confidence (sigmoid) is >= this —
+                                       # low-confidence tracks stop paying
+                                       # the FP price of coverage.  0 = no
+                                       # confidence gate.
+
+    def __post_init__(self):
+        if self.coverage_max_miss < 0:
+            raise ValueError(
+                f"coverage_max_miss must be >= 0, "
+                f"got {self.coverage_max_miss}")
+        if (self.ghost_coverage and self.revival_window
+                and self.coverage_max_miss > self.revival_window):
+            raise ValueError(
+                f"coverage_max_miss={self.coverage_max_miss} exceeds "
+                f"revival_window={self.revival_window}: coverage can only "
+                "be emitted while the ghost is still in the pool")
 
 
 @dataclass(frozen=True)

@@ -82,6 +82,12 @@ class TrackingMetrics:
     n_gt: int = 0
     n_gt_trajectories: int = 0
     n_tracker_trajectories: int = 0
+    # Ignore-machinery accounting (diagnostics; not devkit-summary fields):
+    # tracker boxes absorbed by ignored GT (Van/Person_sitting/truncated)
+    # or DontCare regions instead of counting FP, and GT rows moved to the
+    # ignored set instead of counting FN.
+    absorbed: int = 0
+    ignored_gt: int = 0
 
     def summary(self) -> str:
         return (f"MOTA {self.mota*100:6.2f}%  MOTP {self.motp*100:6.2f}%  "
@@ -145,6 +151,7 @@ class TrackingEvaluation:
         self.ml_threshold = ml_threshold
         self.boundary = boundary
         self.tp = self.fp = self.fn = 0
+        self.absorbed = self.ignored_gt = 0
         self.total_overlap = 0.0
         self.n_gt = 0
         self.n_frames = 0
@@ -247,6 +254,8 @@ class TrackingEvaluation:
                 ioa = intersection_over_area(um_boxes, dc_boxes)
                 absorbed |= (ioa > 0.5).any(axis=1)
             self.fp += int((~absorbed).sum())
+            self.absorbed += int(absorbed.sum())
+            self.ignored_gt += len(gt_ignored_cls) + len(gt_ign)
 
         self.seq_gt_traj.append(traj)
         self.seq_gt_ignored.append(traj_ign)
@@ -254,7 +263,8 @@ class TrackingEvaluation:
     # ------------------------------------------------------------------
     def compute(self) -> TrackingMetrics:
         m = TrackingMetrics(tp=self.tp, fp=self.fp, fn=self.fn,
-                            n_gt=self.n_gt)
+                            n_gt=self.n_gt, absorbed=self.absorbed,
+                            ignored_gt=self.ignored_gt)
         ids = frag = 0
         mt = pt = ml = 0
         n_traj = 0

@@ -228,6 +228,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                  for _ in members] if coverage else None
         g_boxes = [np.zeros((n_windows * W, G, 4), np.float32)
                    for _ in members] if coverage else None
+        g_scores = [np.zeros((n_windows * W, G), np.float32)
+                    for _ in members] if coverage else None
 
         def squeeze(x):
             return x[0] if S_b == 1 else x
@@ -328,6 +330,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     o_gi = np.asarray(out["ghost_ids"]).reshape(S_b, W, G)
                     o_gb = np.asarray(out["ghost_boxes"]).reshape(
                         S_b, W, G, 4)
+                    o_gs = np.asarray(out["ghost_scores"]).reshape(
+                        S_b, W, G)
                 for j, a in enumerate(arrs_l):
                     T = a.det_mask.shape[0]
                     n = min(W, max(0, T - w * W))
@@ -336,6 +340,7 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     if coverage:
                         g_ids[j][w * W:w * W + n] = o_gi[j][:n]
                         g_boxes[j][w * W:w * W + n] = o_gb[j][:n]
+                        g_scores[j][w * W:w * W + n] = o_gs[j][:n]
                 n_dropped += int(np.asarray(out["n_dropped"]).sum())
         finally:
             # Unblock a shipper stuck in put() so it exits and its staged
@@ -359,7 +364,8 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
             log.info("group %s: %d windows in %.2fs (%d programs)",
                      ",".join(members), n_windows, secs_ctd,
                      len(local_keys))
-        ghosts = ([(gi, gb) for gi, gb in zip(g_ids, g_boxes)]
+        ghosts = ([(gi, gb, gs) for gi, gb, gs
+                   in zip(g_ids, g_boxes, g_scores)]
                   if coverage else [None] * len(members))
         return ([(s, a, i_, d_, gh) for s, a, i_, d_, gh
                  in zip(members, arrs_l, ids, det_score, ghosts)],
@@ -417,16 +423,18 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                     frame_ids=arrs.frame_ids, has_3d=arrs.has_3d,
                     **type_kw)
                 ghost_objs = []
+                g_sc = None
                 if ghosts is not None:
                     # Ghost-coverage rows (assoc.ghost_coverage): a track
-                    # missing <= revival_window frames keeps emitting its
-                    # extrapolated box under its own id, so dropout bursts
-                    # stop fragmenting the trajectory.  Ghosts carry no
-                    # detector score; a fixed mid score marks them.
-                    gi, gb = ghosts
+                    # missing <= coverage_max_miss (<= revival_window)
+                    # frames keeps emitting its extrapolated box under its
+                    # own id, so dropout bursts stop fragmenting the
+                    # trajectory.  Each row is scored by the track's LAST
+                    # det-head confidence so downstream consumers can
+                    # threshold coverage like real detections.
+                    gi, gb, g_sc = ghosts
                     ghost_objs = tracker_output_to_objects(
-                        gi[:T], gi[:T] >= 0, gb[:T],
-                        scores=np.full(gi[:T].shape, 0.5, np.float32),
+                        gi[:T], gi[:T] >= 0, gb[:T], scores=g_sc[:T],
                         obj_type=data_cfg.track_class,
                         frame_ids=arrs.frame_ids)
                     if joint:
@@ -456,7 +464,9 @@ def track_kitti_sequences(module: TrackingModule, data_cfg: DataConfig,
                         scores=arrs.scores, boxes3d=arrs.boxes3d,
                         obj_type=data_cfg.track_class,
                         frame_ids=arrs.frame_ids, has_3d=arrs.has_3d)
-                        + ghost_objs,  # ghosts carry no det score to sweep
+                        # Ghost rows sweep on their carried det-head
+                        # confidence, exactly like real detections.
+                        + [g for g in ghost_objs if g.score >= thr],
                         tpath)
                     if gt is not None:
                         tt = read_kitti_tracking_labels(tpath)

@@ -142,6 +142,17 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
       kept as the equality oracle for the two above.
     """
     N = det_mask.shape[-1]
+    if module.ghost_coverage and "detsc" not in feats:
+        # Frozen det-head confidence rides the carried feats so a ghost's
+        # coverage rows are scored by its track's LAST live confidence
+        # (tracker.step_from_feats emission; coverage_min_score gate).
+        # Computed HERE as one batched head call over all frames so every
+        # execution strategy (sequential scan / revival hybrid) freezes
+        # bit-identical values.
+        dl = module.net.apply(module.variables, feats["fused"], det_mask,
+                              method=module.net.det_score)
+        feats = dict(feats, detsc=jax.nn.sigmoid(dl)[..., None].astype(
+            jnp.float32))
     if state0 is None:
         # Build the registry from the branches actually extracted — with a
         # dead sensor (crops/points None) the single-modality branches are
@@ -157,7 +168,7 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     cdtype = feats["fused"].dtype
     # "box"/"boxvel" (pixel coordinates) stay f32: bf16 rounds pixel coords.
     state0 = state0._replace(
-        feats={k: (v if k in ("box", "boxvel", "cls")
+        feats={k: (v if k in ("box", "boxvel", "cls", "detsc")
                   else v.astype(cdtype))
                for k, v in state0.feats.items()})
 
@@ -177,7 +188,8 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         state, out = module.step_from_feats(state, f, dm)
         ys = (out["ids"], out["det_score"])
         if coverage:
-            ys = ys + (out["ghost_ids"], out["ghost_boxes"])
+            ys = ys + (out["ghost_ids"], out["ghost_boxes"],
+                       out["ghost_scores"])
         return state, ys
 
     frames = ({k: v for k, v in feats.items()}, det_mask)
@@ -185,6 +197,7 @@ def _scan_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     out = {"ids": ys[0], "det_score": ys[1]}
     if coverage:
         out["ghost_ids"], out["ghost_boxes"] = ys[2], ys[3]
+        out["ghost_scores"] = ys[4]
     return out, final
 
 
@@ -459,6 +472,10 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     dfl = flat(det_all, det0)
     bfl = flat(feats["box"], state0.feats["box"]) if need_box else None
     cfl = flat(feats["cls"], state0.feats["cls"]) if clsing else None
+    # Frozen det-head confidences by provenance (coverage-row scoring /
+    # coverage_min_score gate) — attached by _scan_track, f32.
+    scfl = (flat(feats["detsc"], state0.feats["detsc"])[..., 0]
+            if coverage else None)
 
     def _new_end(net, fp, fc, l, mp, mc):
         return net.new_end(fp, fc, l, mp, mc, train=False)
@@ -554,10 +571,16 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
             carry2 = carry2 + (
                 jnp.concatenate([velc[:N], vel[gidx]]),)
             # Coverage emission: ghosts missing at THIS frame, frozen box
-            # extrapolated by missed * vel.
+            # extrapolated by missed * vel — gated by the operating-point
+            # knobs exactly like tracker.step_from_feats (bit-equal).
+            gsc = scfl[src[gidx]]
+            m_cap = cfg.coverage_max_miss or K
+            emit = gtaken & (missed_g <= m_cap) & \
+                (gsc >= cfg.coverage_min_score)
             gbox = (bfl[src[gidx]]
                     + missed_g[:, None].astype(jnp.float32) * vel[gidx])
-            ys = ys + (ids_g, gbox)
+            ys = ys + (jnp.where(emit, ids_g, -1).astype(jnp.int32), gbox,
+                       jnp.where(emit, gsc, 0.0).astype(jnp.float32))
         return carry2, ys
 
     missed0 = (state0.missed if state0.missed is not None
@@ -581,6 +604,7 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
     if coverage:
         final_feats["boxvel"] = carry_f[6]
         out["ghost_ids"], out["ghost_boxes"] = ys[2], ys[3]
+        out["ghost_scores"] = ys[4]
     final = TrackerState(
         feats=final_feats,
         mask=mask_f, ids=ids_f, ages=ages_f, next_id=next_id_f,

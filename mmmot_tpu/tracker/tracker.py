@@ -58,9 +58,12 @@ def init_state(feat_dims: Dict[str, int], num_slots: int,
     # The "box"/"boxvel" entries (spatial-gate coordinates / ghost-coverage
     # velocities) stay float32 regardless of the compute dtype: bf16 rounds
     # KITTI pixel coordinates (~1e3) to +-4 px, enough to corrupt gate IoUs.
+    # "detsc" (frozen det-head confidence for coverage scoring) stays f32 so
+    # the coverage_min_score gate compares identical values on every path.
     return TrackerState(
         feats={k: jnp.zeros((num_slots, d),
-                            jnp.float32 if k in ("box", "boxvel", "cls") else dtype)
+                            jnp.float32 if k in ("box", "boxvel", "cls",
+                                                 "detsc") else dtype)
                for k, d in feat_dims.items()},
         mask=jnp.zeros((num_slots,), bool),
         ids=jnp.full((num_slots,), -1, jnp.int32),
@@ -281,6 +284,7 @@ class TrackingModule:
             dims["box"] = 4
         if self.ghost_coverage:
             dims["boxvel"] = 4
+            dims["detsc"] = 1   # frozen det-head confidence (coverage score)
         if self.class_gating:
             dims["cls"] = 1
         return self.make_state0(dims, num_slots)
@@ -438,6 +442,14 @@ class TrackingModule:
                     jnp.maximum(dec.match_curr, 0)],
                 0.0).astype(jnp.float32)
             feats = dict(feats, boxvel=vel)
+            if "detsc" not in feats:
+                # Frozen det-head confidence, carried so a ghost's coverage
+                # rows are scored by the track's LAST live confidence (the
+                # batched sequence paths pre-attach this from the batched
+                # det head — see sequence._scan_track — so the scan carry
+                # reuses those exact values).
+                feats["detsc"] = jax.nn.sigmoid(det_logit_curr)[
+                    ..., None].astype(jnp.float32)
         if K:
             new_state = self._revival_state(
                 state, feats, det_mask, kept_mask, ids_curr, ages_curr,
@@ -458,12 +470,24 @@ class TrackingModule:
         if self.ghost_coverage:
             # Coverage for tracks missing AT THIS FRAME: the state's ghost
             # slots (missed >= 1) extrapolated by their last link velocity.
+            # Emission is gated by the operating-point knobs — the ghost
+            # stays REVIVABLE for the full window regardless:
+            #   coverage_max_miss m: emit only the first m missed frames;
+            #   coverage_min_score:  emit only while the track's last
+            #                        det-head confidence clears the bar.
             gmask = new_state.mask[..., n_in:]
-            out["ghost_ids"] = jnp.where(gmask, new_state.ids[..., n_in:],
+            gmiss = new_state.missed[..., n_in:]
+            gsc = new_state.feats["detsc"][..., n_in:, 0]
+            m_cap = self.assoc_cfg.coverage_max_miss or K
+            emit = gmask & (gmiss <= m_cap) & \
+                (gsc >= self.assoc_cfg.coverage_min_score)
+            out["ghost_ids"] = jnp.where(emit, new_state.ids[..., n_in:],
                                          -1).astype(jnp.int32)
+            out["ghost_scores"] = jnp.where(emit, gsc, 0.0).astype(
+                jnp.float32)
             out["ghost_boxes"] = (
                 new_state.feats["box"][..., n_in:, :]
-                + new_state.missed[..., n_in:, None].astype(jnp.float32)
+                + gmiss[..., None].astype(jnp.float32)
                 * new_state.feats["boxvel"][..., n_in:, :])
         return new_state, out
 

@@ -59,7 +59,16 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
     dropped with high probability for exactly those frames — misses now
     cluster at crossings, where identity is hardest, instead of landing
     at random times like the burst/i.i.d. model.
+
+    Ignore-semantics GT (build_tree's vans/dontcare_regions/truncated_cars
+    knobs) is simulated faithfully too: Van and truncated GT still fire
+    the detector (real detectors cannot tell a van from a car, nor skip a
+    half-visible one) — the devkit must ABSORB the tracker's boxes on
+    them instead of counting FP; DontCare regions additionally attract
+    clutter FPs fully inside the region (absorbed by IoA > 0.5).
     """
+    dontcare = [o for o in objs if o.obj_type == "DontCare"]
+    objs = [o for o in objs if o.obj_type != "DontCare"]
     by_track = defaultdict(list)
     for o in objs:
         by_track[o.track_id].append(o)
@@ -108,13 +117,19 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
                 frame=o.frame, track_id=0, obj_type=o.obj_type, bbox=box,
                 dimensions=o.dimensions, location=o.location,
                 rotation_y=o.rotation_y, score=score))
-    classes = sorted({o.obj_type for o in objs}) or ["Car"]
+    # FP types are drawn from the TRACKABLE classes only (a Van-typed FP
+    # would be an ignored row, not a false positive).
+    classes = sorted({o.obj_type for o in objs
+                      if o.obj_type != "Van"}) or ["Car"]
     for t in range(T):
         for _ in range(rng.poisson(fp_rate)):
             cls = classes[int(rng.integers(len(classes)))]
             if cls == "Pedestrian":
                 w = rng.uniform(18, 45)
                 h = rng.uniform(45, 90)
+            elif cls == "Cyclist":
+                w = rng.uniform(25, 60)
+                h = rng.uniform(40, 80)
             else:
                 w = rng.uniform(40, 160)
                 h = rng.uniform(30, 80)
@@ -140,6 +155,25 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
                 dimensions=np.array([1.6, 1.8, 4.2]),
                 location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
                 rotation_y=0.0, score=score))
+    # Clutter FPs fully inside DontCare regions: the devkit must absorb
+    # them (intersection-over-detection-area > 0.5), not count FP.
+    dc_uniq = sorted({tuple(float(x) for x in o.bbox) for o in dontcare})
+    for t in range(T):
+        for (dl, dt, dr, db) in dc_uniq:
+            if rng.random() >= 0.35:
+                continue
+            w = (dr - dl) * rng.uniform(0.45, 0.75)
+            h = (db - dt) * rng.uniform(0.45, 0.75)
+            cx = rng.uniform(dl + w / 2, dr - w / 2)
+            cy = rng.uniform(dt + h / 2, db - h / 2)
+            score = float(np.clip(rng.normal(0.5, 0.15), 0.05, 1.0))
+            dets.append(KittiObject(
+                frame=t, track_id=0, obj_type="Car",
+                bbox=np.array([cx - w / 2, cy - h / 2,
+                               cx + w / 2, cy + h / 2]),
+                dimensions=np.array([1.6, 1.8, 4.2]),
+                location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
+                rotation_y=0.0, score=score))
     dets.sort(key=lambda o: o.frame)
     for i, o in enumerate(dets):
         o.track_id = i
@@ -147,11 +181,30 @@ def _noisy_dets(objs, T, rng, burst_rate=2.0, iid_miss=0.02,
 
 
 def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
-               n_cars=16, clone_groups=0, occl_dropout=False):
+               n_cars=16, clone_groups=0, occl_dropout=False, cyclists=0,
+               vans=0, dontcare_regions=0, truncated_cars=0):
     """``pedestrians`` adds that many Pedestrian tracks per sequence
     (smaller, slower boxes; distinct track-id range) — multi-class trees
     for ``track_class`` runs.  Default 0 keeps existing trees and their
     packed-cache keys byte-identical.
+
+    Ignore-semantics / third-class knobs (all default 0 = byte-identical
+    trees; exercised by scripts/real_quality_run.py --distractors and the
+    multiclass run so the devkit's ignore machinery fires on the REAL
+    runner -> txt -> devkit path, not just in unit tests):
+
+    * ``cyclists``: Cyclist tracks (id range 200+) — the KITTI third class.
+    * ``vans``: Van GT tracks (id 300+).  The noisy detector fires on them
+      (type Van; the dataset's car filter tracks vans WITH cars and writes
+      them as Car rows) — the devkit must ignore the Van GT for the Car
+      class and ABSORB the tracker's rows on them.
+    * ``dontcare_regions``: static DontCare GT regions painted with dim
+      clutter; the noisy detector emits clutter FPs inside them (absorbed
+      by intersection-over-area > 0.5).
+    * ``truncated_cars``: Car tracks pinned at the image edge with ~35%
+      of the box clipped — their GT rows carry the true truncation
+      fraction (> the devkit's 0.15 threshold), so they are ignored GT:
+      not FN when missed, absorbing when tracked.
 
     Adversarial regime knobs (VERDICT r3 #4 — make association HARD):
 
@@ -175,16 +228,46 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
         os.makedirs(os.path.join(root, "label_02"), exist_ok=True)
         os.makedirs(os.path.join(root, "calib"), exist_ok=True)
         # tracks: n_cars cars moving linearly, plus optional pedestrians
-        # (narrow, tall, slow, id range 100+)
-        n_tracks = n_cars + pedestrians
+        # (narrow, tall, slow, id range 100+), cyclists (200+), vans
+        # (300+), and edge-truncated cars (400+).  Segment bounds:
+        n_ped_end = n_cars + pedestrians
+        n_cyc_end = n_ped_end + cyclists
+        n_van_end = n_cyc_end + vans
+        n_tracks = n_van_end + truncated_cars
         x0 = rng.uniform(50, W - 200, n_tracks)
         y0 = rng.uniform(120, 260, n_tracks)
         vx = np.concatenate([rng.uniform(-2.5, 2.5, n_cars),
-                             rng.uniform(-0.8, 0.8, pedestrians)])
+                             rng.uniform(-0.8, 0.8, pedestrians),
+                             rng.uniform(-1.6, 1.6, cyclists),
+                             rng.uniform(-2.0, 2.0, vans),
+                             rng.uniform(-0.3, 0.3, truncated_cars)])
         bw = np.concatenate([rng.uniform(60, 180, n_cars),
-                             rng.uniform(22, 45, pedestrians)])
+                             rng.uniform(22, 45, pedestrians),
+                             rng.uniform(28, 60, cyclists),
+                             rng.uniform(90, 200, vans),
+                             rng.uniform(90, 170, truncated_cars)])
         bh = np.concatenate([rng.uniform(40, 80, n_cars),
-                             rng.uniform(55, 95, pedestrians)])
+                             rng.uniform(55, 95, pedestrians),
+                             rng.uniform(45, 80, cyclists),
+                             rng.uniform(50, 95, vans),
+                             rng.uniform(40, 80, truncated_cars)])
+        # Truncated cars are PINNED at an image edge: the box center sits
+        # at 0.15 * width from the border, so ~35% of the box is clipped
+        # every frame (> the devkit's 0.15 truncation threshold).
+        for j in range(n_van_end, n_tracks):
+            if (j - n_van_end) % 2 == 0:
+                x0[j] = bw[j] * 0.15
+            else:
+                x0[j] = W - bw[j] * 0.15
+        # Static clutter regions scored as DontCare GT.
+        dc_boxes = []
+        for _ in range(dontcare_regions):
+            dw = rng.uniform(60, 150)
+            dh = rng.uniform(30, 60)
+            dl = rng.uniform(10, W - 160)
+            dt = rng.uniform(100, 220)
+            dc_boxes.append((float(dl), float(dt),
+                             float(dl + dw), float(dt + dh)))
         color = rng.integers(40, 255, (n_tracks, 3))
         stripe = rng.integers(6, 24, n_tracks)      # texture frequency
         depth = rng.uniform(8, 60, n_tracks)        # LiDAR cluster depth
@@ -219,6 +302,11 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
         objs = []
         for t in range(T):
             img = rng.integers(0, 60, (H, W, 3)).astype(np.uint8)
+            for (dl, dt, dr, db) in dc_boxes:
+                # Dim clutter texture inside DontCare regions, so the
+                # detector's clutter FPs there have content to crop.
+                img[int(dt):int(db), int(dl):int(dr)] = rng.integers(
+                    0, 110, (int(db) - int(dt), int(dr) - int(dl), 3))
             pc_parts = [np.concatenate([
                 rng.uniform(3, 70, (12000, 1)).astype(np.float32),
                 rng.uniform(-30, 30, (12000, 1)).astype(np.float32),
@@ -226,11 +314,16 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
                 rng.uniform(0, 1, (12000, 1)).astype(np.float32)], axis=1)]
             for k in range(n_tracks):
                 cx = x0[k] + vx[k] * t
-                if not (30 < cx < W - 30) or not (t_in[k] <= t < t_out[k]):
+                is_trunc = k >= n_van_end
+                if not (t_in[k] <= t < t_out[k]):
+                    continue
+                if not is_trunc and not (30 < cx < W - 30):
                     continue
                 l, tp = cx - bw[k] / 2, y0[k] - bh[k] / 2
                 li, ti = int(max(0, l)), int(max(0, tp))
                 ri, bi = int(min(W, l + bw[k])), int(min(H, tp + bh[k]))
+                if ri - li < 16 or bi - ti < 8:
+                    continue
                 # Per-track appearance: solid color + horizontal stripes.
                 patch = np.tile(color[k][None, None, :],
                                 (bi - ti, ri - li, 1))
@@ -239,8 +332,14 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
                 img[ti:bi, li:ri] = patch
                 # LiDAR cluster inside the frustum at the track's depth:
                 # velodyne x fwd, y left, z up; u = 624 - 720*y/x.
+                # Truncated tracks sample only the VISIBLE band so the
+                # points stay inside the clipped detection's frustum.
                 d = depth[k]
-                u = rng.uniform(l + 2, l + bw[k] - 2, 400)
+                if is_trunc:
+                    u = rng.uniform(max(l, 0.0) + 2,
+                                    min(l + bw[k], W) - 2, 400)
+                else:
+                    u = rng.uniform(l + 2, l + bw[k] - 2, 400)
                 v = rng.uniform(tp + 2, tp + bh[k] - 2, 400)
                 y_v = (624.0 - u) * d / 720.0
                 z_v = (192.0 - v) * d / 720.0
@@ -248,15 +347,40 @@ def build_tree(root, n_seqs=4, T=200, seed=7, noisy=True, pedestrians=0,
                     [np.full(400, d, np.float32), y_v.astype(np.float32),
                      z_v.astype(np.float32),
                      np.full(400, (k + 1) / n_tracks, np.float32)], axis=1))
-                is_ped = k >= n_cars
+                if k < n_cars:
+                    otype, tid = "Car", k
+                    dims = np.array([1.6, 1.8, 4.2])
+                elif k < n_ped_end:
+                    otype, tid = "Pedestrian", 100 + k - n_cars
+                    dims = np.array([1.8, 0.6, 0.8])
+                elif k < n_cyc_end:
+                    otype, tid = "Cyclist", 200 + k - n_ped_end
+                    dims = np.array([1.7, 0.6, 1.8])
+                elif k < n_van_end:
+                    otype, tid = "Van", 300 + k - n_cyc_end
+                    dims = np.array([2.2, 1.9, 5.1])
+                else:
+                    otype, tid = "Car", 400 + k - n_van_end
+                    dims = np.array([1.6, 1.8, 4.2])
+                if is_trunc:
+                    # GT bbox is the VISIBLE (clipped) box; the truncation
+                    # field carries the clipped fraction like real KITTI.
+                    lc, rc = max(l, 0.0), min(l + bw[k], float(W))
+                    tc, bc = max(tp, 0.0), min(tp + bh[k], float(H))
+                    trunc = 1.0 - ((rc - lc) * (bc - tc)) / (bw[k] * bh[k])
+                    bbox = np.array([lc, tc, rc, bc])
+                else:
+                    trunc = 0.0
+                    bbox = np.array([l, tp, l + bw[k], tp + bh[k]])
                 objs.append(KittiObject(
-                    frame=t, track_id=(100 + k - n_cars) if is_ped else k,
-                    obj_type="Pedestrian" if is_ped else "Car",
-                    bbox=np.array([l, tp, l + bw[k], tp + bh[k]]),
-                    dimensions=(np.array([1.8, 0.6, 0.8]) if is_ped
-                                else np.array([1.6, 1.8, 4.2])),
+                    frame=t, track_id=tid, obj_type=otype,
+                    truncated=float(trunc), bbox=bbox, dimensions=dims,
                     location=np.array([(cx - 624.0) / 30.0, 1.6, 25.0]),
                     rotation_y=0.0))
+            for (dl, dt, dr, db) in dc_boxes:
+                objs.append(KittiObject(
+                    frame=t, track_id=-1, obj_type="DontCare",
+                    bbox=np.array([dl, dt, dr, db])))
             pc = np.concatenate(pc_parts).astype(np.float32)
             rng.shuffle(pc)     # interleave clusters in scan order
             Image.fromarray(img).save(

@@ -53,6 +53,10 @@ def main():
                          "class (track_class All) + one class-gated "
                          "tracking pass, per-class scoring from the one "
                          "result set")
+    ap.add_argument("--cyclists", type=int, default=4,
+                    help="Cyclist tracks per sequence in the fabricated "
+                         "tree (the KITTI third class; scored per class "
+                         "in --joint mode)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -76,12 +80,12 @@ def main():
 
     if not os.path.isdir(os.path.join(args.root, "image_02")):
         print(f"building multi-class tree at {args.root} "
-              f"({args.seqs}x{args.frames}, 16 cars + 6 peds/seq) ...",
-              flush=True)
+              f"({args.seqs}x{args.frames}, 16 cars + 6 peds + "
+              f"{args.cyclists} cyclists/seq) ...", flush=True)
         from scripts.make_bench_tree import build_tree
 
         build_tree(args.root, n_seqs=args.seqs, T=args.frames,
-                   pedestrians=6)
+                   pedestrians=6, cyclists=args.cyclists)
 
     base = tiny(crop=64, max_dets=24, point_len=64) if args.tiny \
         else flagship()
@@ -162,7 +166,7 @@ def main():
             # ONE pass: per-class rows from the single result set; the
             # training cost is shared (recorded once per class for
             # comparability with the per-class rows, but it was paid once).
-            for c in ("car", "pedestrian"):
+            for c in ("car", "pedestrian", "cyclist"):
                 m = stats["metrics_by_class"][c]
                 if m.n_gt == 0:
                     continue

@@ -74,6 +74,24 @@ def main():
                          "already exists")
     ap.add_argument("--skip-int8", action="store_true",
                     help="skip the int8-trunk rows")
+    ap.add_argument("--skip-base-rows", action="store_true",
+                    help="skip the standard policy-comparison rows (keep "
+                         "only oracle + the requested sweeps)")
+    ap.add_argument("--sweep-coverage", action="store_true",
+                    help="sweep the ghost-coverage operating-point knobs "
+                         "(coverage_max_miss x coverage_min_score) on top "
+                         "of the full stack — the FP-vs-FRAG trade")
+    ap.add_argument("--sweep-k", action="store_true",
+                    help="sweep the revival window K in {1, 2, 4, 8} on "
+                         "top of the full stack (gate, no coverage)")
+    ap.add_argument("--distractors", action="store_true",
+                    help="build the tree WITH ignore-semantics GT (Van "
+                         "distractor tracks, DontCare clutter regions, "
+                         "edge-truncated cars, Cyclist tracks) so the "
+                         "devkit's ignore machinery fires on the real "
+                         "runner->txt->devkit path; rows then record "
+                         "absorbed/ignored_gt counts.  Writes the "
+                         "..._distractors section")
     args = ap.parse_args()
 
     if args.cpu:
@@ -103,7 +121,9 @@ def main():
               f"({args.seqs}x{args.frames} frames) ...", flush=True)
         from scripts.make_bench_tree import build_tree
 
-        build_tree(args.root, n_seqs=args.seqs, T=args.frames)
+        extra = (dict(cyclists=3, vans=2, dontcare_regions=2,
+                      truncated_cars=2) if args.distractors else {})
+        build_tree(args.root, n_seqs=args.seqs, T=args.frames, **extra)
 
     if args.tiny:
         cfg = tiny(crop=64, max_dets=24, point_len=64)
@@ -174,12 +194,20 @@ def main():
             print(f"saved trained weights to {args.ckpt}", flush=True)
 
     def _row(m):
-        return {"mota": round(float(m.mota), 4),
-                "motp": round(float(m.motp), 4),
-                "ids": int(m.id_switches), "frag": int(m.fragments),
-                "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
-                "recall": round(float(m.recall), 4),
-                "precision": round(float(m.precision), 4)}
+        row = {"mota": round(float(m.mota), 4),
+               "motp": round(float(m.motp), 4),
+               "ids": int(m.id_switches), "frag": int(m.fragments),
+               "tp": int(m.tp), "fp": int(m.fp), "fn": int(m.fn),
+               "recall": round(float(m.recall), 4),
+               "precision": round(float(m.precision), 4)}
+        if m.absorbed or m.ignored_gt:
+            # Ignore machinery fired on the real runner->txt->devkit path
+            # (--distractors trees): tracker boxes absorbed by ignored GT
+            # (Van / truncated / DontCare) and GT rows moved to the
+            # ignored set instead of counting FN.
+            row["absorbed"] = int(m.absorbed)
+            row["ignored_gt"] = int(m.ignored_gt)
+        return row
 
     def run(tag, assoc, det_source="noisy", score_sweep=None, vars_=None):
         module = TrackingModule(net, vars_ or variables, assoc)
@@ -199,36 +227,58 @@ def main():
     # Ceiling: oracle detections (no detections/<source> dir -> GT boxes).
     rows["oracle_ceiling"] = run("oracle", cfg.assoc,
                                  det_source="oracle")[0]
-    # One tracking pass serves the no-filter row AND the whole post-hoc
-    # threshold sweep: the det-head threshold is purely an output filter,
-    # so re-running the pipeline per sweep point would triple the most
-    # expensive stage for bit-identical rows.
-    thresholds = (0.3, 0.45, 0.6)
-    rows["nofilter"], nf_stats = run("nofilter", cfg.assoc,
-                                     score_sweep=thresholds)
-    best_thr, best = None, None
-    for thr in thresholds:
-        r = _row(nf_stats["sweep"][thr])
-        print(f"{f'threshold_{thr}':28s} {r}", flush=True)
-        if best is None or r["mota"] > best["mota"]:
-            best_thr, best = thr, r
-    rows["threshold_best"] = dict(best, threshold=best_thr)
     ydet = dataclasses.replace(cfg.assoc, use_det_scores=True,
                                raw_new_end=True)
-    rows["ydet"] = run("ydet", ydet)[0]
-    rows["ydet_revival"] = run(
-        "ydet_revival", dataclasses.replace(ydet, revival_window=2))[0]
     # Spatial gate (assoc.iou_gate/iou_weight — addition over the
     # reference's appearance-only ILP) on top of the full stack.
     gate = dataclasses.replace(ydet, revival_window=2,
                                iou_weight=1.0, iou_gate=0.1)
-    rows["ydet_revival_gate"] = run("ydet_revival_gate", gate)[0]
     # Ghost coverage (assoc.ghost_coverage): extrapolated boxes while a
     # track is inside the revival window — the FRAG/FN mitigation, at the
     # cost of FPs when a track actually ended.
     cover = dataclasses.replace(gate, ghost_coverage=True)
-    rows["ydet_revival_gate_cover"] = run("ydet_revival_gate_cover",
-                                          cover)[0]
+    if not args.skip_base_rows:
+        # One tracking pass serves the no-filter row AND the whole
+        # post-hoc threshold sweep: the det-head threshold is purely an
+        # output filter, so re-running the pipeline per sweep point would
+        # triple the most expensive stage for bit-identical rows.
+        thresholds = (0.3, 0.45, 0.6)
+        rows["nofilter"], nf_stats = run("nofilter", cfg.assoc,
+                                         score_sweep=thresholds)
+        best_thr, best = None, None
+        for thr in thresholds:
+            r = _row(nf_stats["sweep"][thr])
+            print(f"{f'threshold_{thr}':28s} {r}", flush=True)
+            if best is None or r["mota"] > best["mota"]:
+                best_thr, best = thr, r
+        rows["threshold_best"] = dict(best, threshold=best_thr)
+        rows["ydet"] = run("ydet", ydet)[0]
+        rows["ydet_revival"] = run(
+            "ydet_revival", dataclasses.replace(ydet, revival_window=2))[0]
+        rows["ydet_revival_gate"] = run("ydet_revival_gate", gate)[0]
+        rows["ydet_revival_gate_cover"] = run("ydet_revival_gate_cover",
+                                              cover)[0]
+    if args.sweep_coverage:
+        # The FP-vs-FRAG operating-point sweep (round-4 verdict #2):
+        # coverage_max_miss caps how many missed frames emit a box;
+        # coverage_min_score drops coverage for low-confidence tracks.
+        # (m=K, s=0) is the uncapped round-4 behavior.
+        for m_cap, min_s in ((1, 0.0), (2, 0.3), (1, 0.3),
+                             (2, 0.5), (1, 0.5), (2, 0.7)):
+            acfg = dataclasses.replace(cover, coverage_max_miss=m_cap,
+                                       coverage_min_score=min_s)
+            rows[f"cover_m{m_cap}_s{min_s:g}"] = run(
+                f"cover_m{m_cap}_s{min_s:g}", acfg)[0]
+    if args.sweep_k:
+        # Revival-window sweep (round-4 verdict #6): gate stack at
+        # K in {1, 4, 8} (K=2 is the ydet_revival_gate row), with and
+        # without coverage at the larger K.
+        for K in (1, 4, 8):
+            acfg = dataclasses.replace(gate, revival_window=K)
+            rows[f"gate_k{K}"] = run(f"gate_k{K}", acfg)[0]
+        for K in (4, 8):
+            acfg = dataclasses.replace(cover, revival_window=K)
+            rows[f"cover_k{K}"] = run(f"cover_k{K}", acfg)[0]
 
     if not args.skip_int8:
         # Int8 appearance trunk on the SAME trained weights, calibrated on
@@ -253,6 +303,9 @@ def main():
         cli += f" --crop {args.crop}"
     if args.point_len:
         cli += f" --point-len {args.point_len}"
+    for flag in ("distractors", "sweep_coverage", "sweep_k"):
+        if getattr(args, flag):
+            cli += " --" + flag.replace("_", "-")
     section = {
         "what": "Same REAL streaming path as the oracle run, under a "
                 "simulated detector (detections/noisy: jitter, dropout "
@@ -275,6 +328,14 @@ def main():
             doc = json.load(fh)
     key_name = "noisy_detector" if not args.crop or args.crop == 224 \
         else f"noisy_detector_crop{args.crop}"
+    if args.distractors:
+        key_name += "_distractors"
+    if key_name in doc and isinstance(doc[key_name].get("rows"), dict):
+        # Sweep invocations (--skip-base-rows) MERGE into the existing
+        # section instead of dropping the base rows.
+        merged = dict(doc[key_name]["rows"])
+        merged.update(section["rows"])
+        section["rows"] = merged
     doc[key_name] = section
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:

@@ -391,8 +391,9 @@ def test_revival_window_streams_through_runner(kitti_tree, tmp_path):
 
 def test_ghost_coverage_streams_through_runner(kitti_tree, tmp_path):
     """assoc.ghost_coverage through the real windowed runner: ghost
-    coverage rows (score 0.5, the ghost marker) land in the KITTI result
-    txts under their track's id, parse back cleanly, and score.  (The
+    coverage rows (scored by the track's last det-head confidence) land in
+    the KITTI result txts under their track's id, parse back cleanly, and
+    score.  (The
     untrained debug net links nothing, so every track ghosts every frame
     — the QUALITY of coverage is measured by scripts/real_quality_run.py
     on a trained model; this test checks the plumbing.)"""
@@ -420,9 +421,13 @@ def test_ghost_coverage_streams_through_runner(kitti_tree, tmp_path):
     assert txts, "result txt not written"
     frames = read_kitti_tracking_labels(txts[0])
     objs = [o for objs_f in frames.values() for o in objs_f]
-    ghosts = [o for o in objs if o.score == 0.5]
+    # Oracle det rows carry the detector's score 1.0; ghost-coverage rows
+    # carry the track's last det-head confidence (a sigmoid in (0, 1)).
+    ghosts = [o for o in objs if o.score < 1.0]
     assert ghosts, "no ghost coverage rows written"
-    real_ids = {o.track_id for o in objs if o.score != 0.5}
+    assert all(0.0 < g.score < 1.0 for g in ghosts), \
+        "ghost rows must be scored by the carried det-head confidence"
+    real_ids = {o.track_id for o in objs if o.score == 1.0}
     assert all(g.track_id in real_ids for g in ghosts), \
         "ghost rows must continue existing track ids"
     # Ghost rows carry finite boxes inside the frame.

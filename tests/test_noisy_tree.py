@@ -155,3 +155,83 @@ def test_multiclass_tree_generation(tmp_path):
         assert any(_iou(d.bbox, g.bbox) > 0.3
                    for g in gt.get(d.frame, [])
                    if g.obj_type == "Pedestrian")
+
+
+def test_distractor_tree_and_devkit_ignore_semantics(tmp_path):
+    """The ignore-semantics knobs (cyclists/vans/dontcare_regions/
+    truncated_cars) emit the GT the devkit's ignore machinery exists for,
+    the noisy detector fires on it faithfully (Van dets, clutter FPs
+    inside DontCare), and the devkit ABSORBS tracker boxes on ignored GT
+    instead of counting FP — end-to-end through result rows, with the new
+    absorbed/ignored_gt accounting."""
+    from mmmot_tpu.data.kitti_io import KittiObject
+    from mmmot_tpu.eval.kitti_devkit import TrackingEvaluation
+
+    root = str(tmp_path / "kitti_dx")
+    build_tree(root, n_seqs=1, T=16, seed=11, cyclists=2, vans=2,
+               dontcare_regions=2, truncated_cars=2)
+    gt = read_kitti_tracking_labels(
+        os.path.join(root, "label_02", "0000.txt"))
+    gt_all = [o for objs in gt.values() for o in objs]
+    by_type = {}
+    for o in gt_all:
+        by_type.setdefault(o.obj_type, []).append(o)
+    assert set(by_type) >= {"Car", "Cyclist", "Van", "DontCare"}
+    assert {o.track_id for o in by_type["Cyclist"]} <= set(range(200, 202))
+    assert {o.track_id for o in by_type["Van"]} <= set(range(300, 302))
+    # Edge-truncated cars: id range 400+, truncation above the devkit
+    # threshold, bbox clipped to the image.
+    trunc = [o for o in by_type["Car"] if o.track_id >= 400]
+    assert trunc and all(o.truncated > 0.15 for o in trunc)
+    assert all(o.bbox[0] >= 0 and o.bbox[2] <= 1248 for o in trunc)
+    # Regular cars keep truncation 0 (byte-compat with existing trees).
+    assert all(o.truncated == 0.0 for o in by_type["Car"]
+               if o.track_id < 400)
+
+    dets = read_kitti_tracking_labels(
+        os.path.join(root, "detections", "noisy", "0000.txt"))
+    det_all = [o for objs in dets.values() for o in objs]
+    assert all(o.obj_type != "DontCare" for o in det_all), \
+        "DontCare GT must never produce detections"
+    assert any(o.obj_type == "Van" for o in det_all), \
+        "the detector must fire on Van distractors"
+    dc_boxes = [o.bbox for o in by_type["DontCare"]]
+    in_dc = [d for d in det_all if d.obj_type == "Car" and any(
+        _iou(d.bbox, b) > 0.25 for b in dc_boxes)]
+    assert in_dc, "no clutter FPs inside DontCare regions"
+
+    # Devkit absorption e2e: a tracker that emits Car rows exactly on the
+    # Van GT, the truncated GT, and inside a DontCare region must see them
+    # ABSORBED (fp == 0), with the ignored-GT counting surfaced.
+    trk = {}
+    n_rows = 0
+    for f, objs in gt.items():
+        rows = []
+        for o in objs:
+            if o.obj_type == "Van" or (o.obj_type == "Car"
+                                       and o.truncated > 0.15):
+                rows.append(KittiObject(
+                    frame=f, track_id=900 + o.track_id, obj_type="Car",
+                    bbox=o.bbox.copy(), score=0.9))
+            elif o.obj_type == "DontCare":
+                l, t, r, b = [float(x) for x in o.bbox]
+                w, h = (r - l) * 0.6, (b - t) * 0.6
+                cx, cy = (l + r) / 2, (t + b) / 2
+                rows.append(KittiObject(
+                    frame=f, track_id=990, obj_type="Car",
+                    bbox=np.array([cx - w / 2, cy - h / 2,
+                                   cx + w / 2, cy + h / 2]), score=0.9))
+        n_rows += len(rows)
+        trk[f] = rows
+    ev = TrackingEvaluation(cls="car")
+    ev.add_sequence(gt, trk)
+    m = ev.compute()
+    assert n_rows > 0
+    assert m.fp == 0, "ignored-GT / DontCare rows must be absorbed"
+    assert m.absorbed == n_rows
+    assert m.ignored_gt > 0
+    # Van + truncated GT must not count FN either (they are ignored, and
+    # this tracker emitted nothing on the real cars).
+    n_real_car_gt = sum(1 for o in by_type["Car"]
+                        if o.track_id < 400)
+    assert m.fn == n_real_car_gt

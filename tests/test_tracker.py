@@ -424,6 +424,14 @@ def test_revival_hybrid_matches_sequential():
                     use_det_scores=True, det_score_weight=-1.0,
                     raw_new_end=True, iou_weight=0.5, iou_gate=0.01,
                     ghost_coverage=True),
+        # Coverage operating-point knobs: emission caps/gates must stay
+        # bit-equal between the hybrid and sequential paths too.
+        AssocConfig(solver="auction", revival_window=2,
+                    use_det_scores=True, det_score_weight=-1.0,
+                    raw_new_end=True, ghost_coverage=True,
+                    coverage_max_miss=1),
+        AssocConfig(solver="auction", revival_window=2,
+                    ghost_coverage=True, coverage_min_score=0.5),
     ]
     for acfg in variants:
         outs = {}
@@ -449,6 +457,10 @@ def test_revival_hybrid_matches_sequential():
             np.testing.assert_allclose(
                 np.asarray(outs["hybrid"]["ghost_boxes"]),
                 np.asarray(outs["sequential"]["ghost_boxes"]), atol=1e-4,
+                err_msg=str(acfg))
+            np.testing.assert_allclose(
+                np.asarray(outs["hybrid"]["ghost_scores"]),
+                np.asarray(outs["sequential"]["ghost_scores"]), atol=1e-6,
                 err_msg=str(acfg))
     # The regime is non-trivial: a clean identical-signature dropout (the
     # construction test_revival_window_recovers_id_after_gap proves against
@@ -522,6 +534,82 @@ def test_ghost_coverage_emits_extrapolated_boxes():
     # Frames where the track is present emit no ghost for it.
     for t in (0, 1, 4, 5, 6):
         assert (gids[t] != tid).all()
+
+
+def test_coverage_knobs_gate_emission():
+    """assoc.coverage_max_miss / coverage_min_score: the operating-point
+    knobs cap WHICH ghost frames emit coverage boxes without touching the
+    revival itself — a ghost past the emission cap (or below the
+    confidence bar) stays revivable, it just stops emitting rows.  The
+    emitted scores must equal the track's LAST live det-head confidence."""
+    import dataclasses
+
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 7, 4, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    sig = jax.random.normal(jax.random.PRNGKey(5), (32, 32, 3))
+    sigp = jax.random.normal(jax.random.PRNGKey(5), (P, 4))
+    crops = jnp.tile(sig[None, None], (T, Ns, 1, 1, 1))
+    points = jnp.tile(sigp[None, None], (T, Ns, 1, 1))
+    pm = jnp.ones((T, Ns, P), bool)
+    present = jnp.asarray([1, 1, 0, 0, 1, 1, 1], bool)
+    dm = jnp.zeros((T, Ns), bool).at[:, 0].set(present)
+    boxes = np.zeros((T, Ns, 4), np.float32)
+    for t in range(T):
+        boxes[t, 0] = [10 + 3 * t, 20 + t, 40 + 3 * t, 50 + t]
+    boxes = jnp.asarray(boxes)
+
+    def run(acfg):
+        m = TrackingModule(net, vars_, acfg)
+        return jax.jit(lambda c, p, q, d, b: track_sequence(
+            m, c, p, q, d, boxes=b))(crops, points, pm, dm, boxes)
+
+    base = AssocConfig(solver="auction", revival_window=2,
+                       ghost_coverage=True)
+    out0 = run(base)
+    ids = np.asarray(out0["ids"])
+    tid = ids[1, 0]
+    last_sc = float(np.asarray(out0["det_score"])[1, 0])
+    g0 = np.asarray(out0["ghost_ids"])
+    gs0 = np.asarray(out0["ghost_scores"])
+    # Uncapped: frames 2 (missed=1) and 3 (missed=2) both emit, scored by
+    # the track's frame-1 (last live) det-head confidence.
+    for t in (2, 3):
+        row = np.where(g0[t] == tid)[0]
+        assert row.size == 1
+        np.testing.assert_allclose(gs0[t, row[0]], last_sc, atol=1e-5)
+
+    # coverage_max_miss=1: only the first missed frame emits; the ghost
+    # still revives at frame 4.
+    out1 = run(dataclasses.replace(base, coverage_max_miss=1))
+    g1 = np.asarray(out1["ghost_ids"])
+    assert (g1[2] == tid).any(), "first missed frame must still emit"
+    assert (g1[3] != tid).all(), "frame past coverage_max_miss must not"
+    assert np.asarray(out1["ids"])[4, 0] == tid, \
+        "revival must be unaffected by the emission cap"
+
+    # coverage_min_score just above/below the track's confidence flips
+    # emission without touching ids.
+    hi = run(dataclasses.replace(base, coverage_min_score=min(
+        last_sc + 0.01, 1.0)))
+    lo = run(dataclasses.replace(base, coverage_min_score=max(
+        last_sc - 0.01, 0.0)))
+    assert (np.asarray(hi["ghost_ids"])[2:4] != tid).all(), \
+        "confidence bar above the track's score must suppress emission"
+    for t in (2, 3):
+        assert (np.asarray(lo["ghost_ids"])[t] == tid).any()
+    np.testing.assert_array_equal(np.asarray(hi["ids"]), ids)
 
 
 def test_hybrid_presolve_gnn_guard():
