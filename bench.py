@@ -97,6 +97,11 @@ GATE_MODE = os.environ.get("MMMOT_BENCH_GATE", "") not in ("", "0")
 # program once and records it as config.bf16_fps so both numbers land in
 # one JSON line.
 INT8_MODE = os.environ.get("MMMOT_BENCH_INT8", "1") not in ("", "0")
+# Space-to-depth stem (AppearanceConfig.s2d_stem): the TPU stem redesign —
+# NOT the reference architecture (retrained quality priced in
+# results/real_tree_quality.json s2d rows); benches the same pipeline with
+# the stage-1 convs at half resolution.
+S2D_MODE = os.environ.get("MMMOT_BENCH_S2D", "") not in ("", "0")
 # Debug/smoke runs off-TPU ("" and "0" both mean the normal TPU path).
 CPU_MODE = os.environ.get("MMMOT_BENCH_CPU", "") not in ("", "0")
 N_RUNS = int(os.environ.get("MMMOT_BENCH_RUNS", 3))
@@ -159,7 +164,7 @@ def main():
     hb("jax_imported", f"devices={[str(d) for d in jax.devices()]}")
 
     cfg = flagship(compute_dtype="bfloat16", max_dets=N, crop=CROP,
-                   point_len=P)
+                   point_len=P, s2d_stem=S2D_MODE)
     import dataclasses
     solver = os.environ.get("MMMOT_BENCH_SOLVER")
     assoc = cfg.assoc

@@ -43,6 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--capacity", type=int, default=None,
                    help="compact-first extraction capacity for --window "
                         "(default W * max_dets — every slot)")
+    p.add_argument("--streams", type=int, default=None, metavar="S",
+                   help="export the MULTI-STREAM program instead: one call "
+                        "advances up to S concurrent streams' frames (a "
+                        "per-slot active mask; inactive slots carry their "
+                        "state unchanged) — how several cameras realize "
+                        "the batched per-frame rate (mmmot-serve "
+                        "--streams drives it live)")
     p.add_argument("--int8", action="store_true",
                    help="quantize the appearance trunk to int8 before "
                         "export (also enabled by the config's "
@@ -110,7 +117,18 @@ def main(argv=None):
         variables = quantize_for_inference(variables, cfg.model, data_cfg)
         print(f"int8 appearance trunk calibrated on {data_cfg.root}")
 
-    if args.window:
+    if args.window and args.streams:
+        raise SystemExit("--window and --streams are mutually exclusive")
+    if args.streams:
+        from mmmot_tpu.deploy import export_multistream_step
+
+        exported, state0 = export_multistream_step(
+            cfg, variables, args.streams, (h, w), m, platforms=platforms)
+        save_artifact(args.out, exported, variables, state0, cfg, (h, w),
+                      m, kind="multistream_step",
+                      extra={"streams": args.streams, "int8": int8})
+        what = f"multistream({args.streams}) step"
+    elif args.window:
         exported, state0 = export_window_step(
             cfg, variables, args.window, (h, w), m,
             capacity=args.capacity, platforms=platforms)

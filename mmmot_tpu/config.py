@@ -49,9 +49,26 @@ class AppearanceConfig:
             raise ValueError(
                 f"crop_size {self.crop_size} too small: VGG has 5 pooling "
                 "stages, so crops must be at least 32x32")
+        if self.s2d_stem and (self.crop_size[0] % 2 or self.crop_size[1] % 2):
+            raise ValueError(
+                f"s2d_stem needs even crop dims, got {self.crop_size}")
     dropblock_size: int = 7
     dropblock_rate: float = 0.1
     width_mult: float = 1.0            # channel-width multiplier (TPU extra)
+    s2d_stem: bool = False             # TPU space-to-depth stem (NOT the
+                                       # reference architecture — gate +
+                                       # retrain): a 2x2 space-to-depth
+                                       # replaces the first pooling, so the
+                                       # stage-1 convs run at half spatial
+                                       # resolution on 12 input channels.
+                                       # Kills the three structural stem
+                                       # costs of faithful VGG at 224²
+                                       # (C_in=3 MXU floor, the 64-channel
+                                       # high-spatial conv, pool1 HBM
+                                       # traffic) at ~4x less stem compute;
+                                       # stage output shapes are unchanged
+                                       # from stage 1 onward.  Measured in
+                                       # docs/PERFORMANCE.md (round 5).
 
 
 @dataclass(frozen=True)

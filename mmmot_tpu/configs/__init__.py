@@ -14,14 +14,15 @@ from mmmot_tpu.config import (AffinityConfig, AppearanceConfig, AssocConfig,
 
 def flagship(compute_dtype: str = "bfloat16", max_dets: int = 32,
              crop: int = 224, point_len: int = 512,
-             width_mult: float = 1.0) -> Config:
+             width_mult: float = 1.0, s2d_stem: bool = False) -> Config:
     return Config(
         name="pp_pv_40e_dualadd_subabs_C",
         model=ModelConfig(
             appearance=AppearanceConfig(depth=16, batch_norm=True,
                                         skip_pool=True, reduction_dim=256,
                                         out_dim=512, crop_size=(crop, crop),
-                                        width_mult=width_mult),
+                                        width_mult=width_mult,
+                                        s2d_stem=s2d_stem),
             point=PointConfig(point_len=point_len,
                               channels=(64, 128, 256, 512), out_dim=512),
             fusion=FusionConfig(variant="C", out_dim=512, keep_single=True),

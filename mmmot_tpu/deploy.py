@@ -41,7 +41,8 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["export_serve_step", "export_window_step", "save_artifact",
+__all__ = ["export_serve_step", "export_window_step",
+           "export_multistream_step", "save_artifact",
            "DeployedTracker", "ARTIFACT_PROGRAM", "ARTIFACT_WEIGHTS",
            "ARTIFACT_STATE0", "ARTIFACT_MANIFEST"]
 
@@ -125,6 +126,8 @@ def _fill_from_npz(skel, npz, prefix=()) -> Any:
 
 
 def _state_to_dict(state) -> Dict[str, Any]:
+    if isinstance(state, dict):      # already a dict pytree (multistream)
+        return state
     d = {"feats": dict(state.feats), "mask": state.mask, "ids": state.ids,
          "ages": state.ages, "next_id": state.next_id}
     if state.missed is not None:
@@ -170,6 +173,92 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
         return _state_to_dict(new_state), out["ids"], out["det_score"]
 
     return step
+
+
+def _build_multistream_step(net, assoc_cfg, crop: Tuple[int, int],
+                            point_len: int,
+                            use_pallas: Optional[bool] = None):
+    """Vmapped MULTI-STREAM serving step: S concurrent streams' frames in
+    ONE program (SURVEY §5.7; the round-4 latency study's missing product
+    piece — batched windows are ~3x cheaper per frame than single-stream
+    steps, and this is how several cameras realize that rate).
+
+    Signature (S = leading axis of every per-stream operand):
+
+        (weights, states, active [S] bool, images [S,H,W,3], clouds
+         [S,M,4], boxes [S,N,4], det_mask [S,N], projs [S,3,4])
+            -> (states', ids [S,N] i32, det_score [S,N] f32)
+
+    ``active[s]`` False carries stream s's state through UNCHANGED (its
+    lane computes on placeholder arrays and is discarded, which is what
+    buys the one-program batching) and returns ids -1 — so a flush with
+    only k < S pending frames still advances exactly those k streams,
+    identical to k separate per-frame steps (tested).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    step = _build_step(net, assoc_cfg, crop, point_len,
+                       use_pallas=use_pallas)
+
+    def multi(weights, states_d, active, images, clouds, boxes, det_masks,
+              projs):
+        new_states, ids, scores = jax.vmap(
+            step, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            weights, states_d, images, clouds, boxes, det_masks, projs)
+
+        def sel(n, o):
+            a = active.reshape(active.shape + (1,) * (n.ndim - 1))
+            return jnp.where(a, n, o)
+
+        states2 = jax.tree.map(sel, new_states, states_d)
+        ids = jnp.where(active[:, None], ids, -1)
+        scores = scores * active[:, None].astype(scores.dtype)
+        return states2, ids, scores
+
+    return multi
+
+
+def export_multistream_step(cfg, variables, streams: int,
+                            image_hw: Tuple[int, int], cloud_points: int,
+                            platforms: Tuple[str, ...] = ("cpu", "tpu")):
+    """AOT-export the multi-stream step (see _build_multistream_step).
+
+    Returns ``(jax.export.Exported, stacked state0)``; manifest kind is
+    ``multistream_step`` with a ``streams`` field."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+
+    net = model_entry(cfg.model)
+    use_pallas = tuple(platforms) == ("tpu",) and _pallas_ok(cfg.model)
+    module = TrackingModule(net, variables, cfg.assoc,
+                            use_pallas_affinity=use_pallas)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    H, W = image_hw
+    S = int(streams)
+    multi = _build_multistream_step(net, cfg.assoc, crop, P,
+                                    use_pallas=use_pallas)
+    one0 = _state_to_dict(_fresh_state(module, N))
+    state0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (S,) + jnp.shape(x)), one0)
+    aval = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)  # noqa: E731
+    in_avals = (
+        jax.tree.map(aval, variables),
+        jax.tree.map(aval, state0),
+        jax.ShapeDtypeStruct((S,), jnp.bool_),
+        jax.ShapeDtypeStruct((S, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((S, cloud_points, 4), jnp.float32),
+        jax.ShapeDtypeStruct((S, N, 4), jnp.float32),
+        jax.ShapeDtypeStruct((S, N), jnp.bool_),
+        jax.ShapeDtypeStruct((S, 3, 4), jnp.float32),
+    )
+    exported = jax.export.export(jax.jit(multi),
+                                 platforms=list(platforms))(*in_avals)
+    return exported, state0
 
 
 def _fresh_state(module, N: int):

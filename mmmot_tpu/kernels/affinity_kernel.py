@@ -303,9 +303,15 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
 
 
 def pallas_supported(cfg) -> bool:
-    """Whether the fused kernel covers this ModelConfig's affinity math."""
+    """Whether the fused kernel covers this ModelConfig's affinity math.
+
+    ``gnn_rounds > 0`` is supported since round 5: the message-passing
+    hops run OUTSIDE the kernel as batched XLA ops (net.gnn_refine) and
+    the kernel consumes the refined embeddings — see
+    ``TrackingModule._affinity_pallas``.
+    """
     aff, ne = cfg.affinity, cfg.new_end
-    return (aff.num_layers == 2 and aff.gnn_rounds == 0
+    return (aff.num_layers == 2
             and ne.version >= 2
             and all(op in ("subabs", "mul", "diff", "cosine")
                     for op in aff.correlation_ops)

@@ -59,24 +59,27 @@ class GNNRefine(nn.Module):
     """Message-passing refinement across detections of both frames.
 
     Each detection aggregates softmax-weighted neighbour features from the
-    *other* frame (one round = one bipartite attention hop).
+    *other* frame (one round = one bipartite attention hop).  ``dim`` 0
+    means "same as the input feature dim" (resolved lazily so the module
+    can be declared in ``setup`` before shapes are known).
     """
 
-    dim: int
+    dim: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat_a, feat_b, mask_a, mask_b):
-        q = nn.Dense(self.dim, dtype=self.dtype,
+        dim = self.dim or feat_a.shape[-1]
+        q = nn.Dense(dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="q")
-        k = nn.Dense(self.dim, dtype=self.dtype,
+        k = nn.Dense(dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="k")
-        v = nn.Dense(self.dim, dtype=self.dtype,
+        v = nn.Dense(dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="v")
-        o = nn.Dense(self.dim, dtype=self.dtype,
+        o = nn.Dense(dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="o")
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.dim, self.dtype))
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dim, self.dtype))
 
         def hop(x, y, my, valid_x):
             att = jnp.einsum("...id,...jd->...ij", q(x), k(y)) * scale
@@ -94,33 +97,52 @@ class AffinityModule(nn.Module):
 
     Returns the raw link-score matrix ``[.., Np, Nc]`` (pre-normalisation)
     with invalid pairs forced to zero.
+
+    setup-style (not nn.compact) so :meth:`refine` — the message-passing
+    hops alone — is separately callable: the fused Pallas kernel consumes
+    EMBEDDINGS, so with ``gnn_rounds > 0`` the tracker runs the hops as
+    batched XLA ops and feeds the refined embeddings into the kernel
+    (kernels/affinity_kernel.py), instead of abandoning the kernel.
     """
 
     cfg: AffinityConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.gnns = [GNNRefine(dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name=f"gnn_{r}")
+                     for r in range(self.cfg.gnn_rounds)]
+        self.heads = [nn.Dense(self.cfg.hidden_dim, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name=f"head_{i}")
+                      for i in range(self.cfg.num_layers - 1)]
+        self.head_bns = [MaskedBatchNorm(dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name=f"head_bn_{i}")
+                         for i in range(self.cfg.num_layers - 1)]
+        self.head_out = nn.Dense(1, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="head_out")
+
+    def refine(self, feat_prev, feat_curr, mask_prev, mask_curr):
+        """The message-passing hops only: refined (prev, curr) embeddings."""
+        a, b = feat_prev, feat_curr
+        for g in self.gnns:
+            a, b = g(a, b, mask_prev, mask_curr)
+        return a, b
+
     def __call__(self, feat_prev, feat_curr, mask_prev, mask_curr, *,
                  train: bool = False):
-        a, b = feat_prev, feat_curr
-        for r in range(self.cfg.gnn_rounds):
-            a, b = GNNRefine(dim=a.shape[-1], dtype=self.dtype,
-                             param_dtype=self.param_dtype,
-                             name=f"gnn_{r}")(a, b, mask_prev, mask_curr)
-
+        a, b = self.refine(feat_prev, feat_curr, mask_prev, mask_curr)
         pm = pair_mask(mask_prev, mask_curr)
-        corr = correlation_tensor(a, b, self.cfg.correlation_ops)
-        x = corr
-        for i in range(self.cfg.num_layers - 1):
-            x = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name=f"head_{i}")(x)
-            x = MaskedBatchNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                                name=f"head_bn_{i}")(
-                x, pm, use_running_average=not train)
+        x = correlation_tensor(a, b, self.cfg.correlation_ops)
+        for dense, bn in zip(self.heads, self.head_bns):
+            x = dense(x)
+            x = bn(x, pm, use_running_average=not train)
             x = nn.relu(x)
-        score = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="head_out")(x)[..., 0]
+        score = self.head_out(x)[..., 0]
         return score * pm.astype(score.dtype)
 
 

@@ -35,25 +35,77 @@ VGG_PLANS = {
 }
 
 
+def space_to_depth(x, block: int = 2):
+    """[..., H, W, C] -> [..., H/b, W/b, b*b*C] (pure relayout)."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    x = x.reshape(lead + (h // block, block, w // block, block, c))
+    n = len(lead)
+    perm = tuple(range(n)) + (n, n + 2, n + 1, n + 3, n + 4)
+    x = x.transpose(perm)
+    return x.reshape(lead + (h // block, w // block, block * block * c))
+
+
+def trunk_ops(depth: int, s2d_stem: bool = False):
+    """Canonical trunk op sequence shared by the float backbone and the
+    int8 quantized path (models/quantize.py), so both implement the SAME
+    architecture for every (depth, s2d_stem) combination:
+
+        ("s2d",)            2x2 space-to-depth input relayout
+        ("conv", i, ch)     3x3 conv_i -> ch channels (+BN+ReLU)
+        ("pool",)           2x2 max-pool
+        ("stage",)          stage boundary (feature map recorded)
+
+    With ``s2d_stem`` the s2d relayout replaces the FIRST pool (the stem
+    convs run at half resolution on block*block*C input channels); every
+    stage's output shape is unchanged.
+    """
+    ops = []
+    if s2d_stem:
+        ops.append(("s2d",))
+    conv_i = 0
+    first_pool = s2d_stem
+    for item in VGG_PLANS[depth]:
+        if item == "M":
+            if first_pool:
+                first_pool = False      # the s2d already downsampled
+            else:
+                ops.append(("pool",))
+            ops.append(("stage",))
+        else:
+            ops.append(("conv", conv_i, item))
+            conv_i += 1
+    return tuple(ops)
+
+
 class VGGBackbone(nn.Module):
-    """VGG conv trunk returning the feature map after every pooling stage."""
+    """VGG conv trunk returning the feature map after every pooling stage.
+
+    ``s2d_stem`` (AppearanceConfig.s2d_stem): TPU stem redesign — a 2x2
+    space-to-depth replaces pool1, so the stage-1 convs run at half
+    resolution on 12 input channels (MXU-shaped contraction, ~4x less
+    stem compute).  NOT weight-compatible with the reference stem.
+    """
 
     depth: int = 16
     batch_norm: bool = True
     width_mult: float = 1.0
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, *, train: bool = False):
-        plan = VGG_PLANS[self.depth]
         stages = []
-        conv_i = 0
-        for item in plan:
-            if item == "M":
+        for op in trunk_ops(self.depth, self.s2d_stem):
+            if op[0] == "s2d":
+                x = space_to_depth(x, 2)
+            elif op[0] == "pool":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif op[0] == "stage":
                 stages.append(x)
             else:
+                _, conv_i, item = op
                 ch = max(8, int(item * self.width_mult))
                 x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             param_dtype=self.param_dtype,
@@ -64,7 +116,6 @@ class VGGBackbone(nn.Module):
                                         name=f"bn_{conv_i}")(
                         x, mask, use_running_average=not train)
                 x = nn.relu(x)
-                conv_i += 1
         return stages
 
 
@@ -91,6 +142,7 @@ class AppearanceNet(nn.Module):
         stages = VGGBackbone(depth=self.cfg.depth,
                              batch_norm=self.cfg.batch_norm,
                              width_mult=self.cfg.width_mult,
+                             s2d_stem=self.cfg.s2d_stem,
                              dtype=self.dtype, param_dtype=self.param_dtype,
                              name="backbone")(x, flat_mask, train=train)
 

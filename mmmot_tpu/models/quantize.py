@@ -44,7 +44,7 @@ import numpy as np
 from jax import lax
 
 from mmmot_tpu.config import AppearanceConfig
-from mmmot_tpu.models.appearance import VGG_PLANS
+from mmmot_tpu.models.appearance import VGG_PLANS, space_to_depth, trunk_ops
 from mmmot_tpu.models.layers import MaskedBatchNorm
 
 # BN folding must use the exact eps the float path normalises with, or the
@@ -99,7 +99,7 @@ def calibrate_appearance(variables, cfg: AppearanceConfig, crops,
     ``(input_absmax, conv0_max, conv1_max, ...)`` as python floats.
     """
     convs = _folded_trunk(variables, cfg)
-    plan = VGG_PLANS[cfg.depth]
+    ops = trunk_ops(cfg.depth, cfg.s2d_stem)
     x = jnp.asarray(crops, jnp.float32)
     x = x.reshape((-1,) + x.shape[-3:])
 
@@ -110,19 +110,19 @@ def calibrate_appearance(variables, cfg: AppearanceConfig, crops,
     def run(convs, x):
         maxes = [jnp.max(jnp.abs(x))]
         y = x
-        ci = 0
-        for item in plan:
-            if item == "M":
+        for op in ops:
+            if op[0] == "s2d":
+                y = space_to_depth(y, 2)
+            elif op[0] == "pool":
                 y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 2, 2, 1),
                                       (1, 2, 2, 1), "VALID")
-            else:
-                w, b = convs[ci]
+            elif op[0] == "conv":
+                w, b = convs[op[1]]
                 y = lax.conv_general_dilated(
                     y, w, (1, 1), "SAME", dimension_numbers=_DN,
                     preferred_element_type=jnp.float32) + b
                 y = jnp.maximum(y, 0.0)
                 maxes.append(jnp.max(y))
-                ci += 1
         return jnp.stack(maxes)
 
     maxes = np.asarray(run(convs, x))
@@ -234,40 +234,41 @@ def quantize_for_inference(variables, model_cfg, data_cfg,
 
 def _stage_scales(cfg: AppearanceConfig,
                   act_scales: Tuple[float, ...]) -> Tuple[float, ...]:
-    plan = VGG_PLANS[cfg.depth]
     out: List[float] = []
     conv_i = 0
-    for item in plan:
-        if item == "M":
-            out.append(max(float(act_scales[conv_i]), 1e-12) / 127.0)
-        else:
+    for op in trunk_ops(cfg.depth, cfg.s2d_stem):
+        if op[0] == "conv":
             conv_i += 1
+        elif op[0] == "stage":
+            out.append(max(float(act_scales[conv_i]), 1e-12) / 127.0)
     return tuple(out)
 
 
 def quantized_trunk_stages(quant: Dict[str, Any], cfg: AppearanceConfig,
                            x) -> List[Tuple[jnp.ndarray, float]]:
     """Run the int8 trunk; returns ``[(int8 stage map, dequant scale)]``
-    per pooling stage (mirrors ``VGGBackbone.__call__``'s stage list)."""
-    plan = VGG_PLANS[cfg.depth]
+    per stage boundary (mirrors ``VGGBackbone.__call__``'s stage list —
+    including the s2d stem, where the relayout commutes with the
+    per-tensor input quantization)."""
     in_scale = quant["in_scale"]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale),
                   -127, 127).astype(jnp.int8)
     stages: List[Tuple[jnp.ndarray, float]] = []
-    conv_i = 0
-    for item in plan:
-        if item == "M":
+    for op in trunk_ops(cfg.depth, cfg.s2d_stem):
+        if op[0] == "s2d":
+            xq = space_to_depth(xq, 2)
+        elif op[0] == "pool":
             xq = lax.reduce_window(xq, jnp.asarray(-128, jnp.int8), lax.max,
                                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        elif op[0] == "stage":
             stages.append((xq, quant["stage_scales"][len(stages)]))
         else:
-            q = quant["layers"][conv_i]
+            q = quant["layers"][op[1]]
             acc = lax.conv_general_dilated(
                 xq, q["w"], (1, 1), "SAME", dimension_numbers=_DN,
                 preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * q["m"] + q["b"]
             xq = jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
-            conv_i += 1
     return stages
 
 

@@ -123,6 +123,25 @@ class TrackingNet(nn.Module):
         return self.fusion(img_feat, lidar_feat, det_mask)
 
     # ---- affinity between two frames -----------------------------------
+    def gnn_refine(self, feats_prev: Dict[str, jnp.ndarray],
+                   feats_curr: Dict[str, jnp.ndarray], mask_prev, mask_curr
+                   ) -> tuple:
+        """Per-branch message-passing refinement ONLY (gnn_rounds hops of
+        bipartite attention across the frame pair) — refined embedding
+        dicts, non-branch keys (boxes/class ids/...) passed through.
+
+        This is how ``gnn_rounds > 0`` composes with the fused Pallas
+        affinity kernel: the hops run as batched XLA ops here, and the
+        kernel consumes the refined embeddings (it implements correlation
+        + heads + normalisation, which don't change with the GNN)."""
+        out_p, out_c = dict(feats_prev), dict(feats_curr)
+        for b in self.score_branches:
+            if b not in feats_prev or b not in feats_curr:
+                continue
+            out_p[b], out_c[b] = self.affinity_mods[b].refine(
+                feats_prev[b], feats_curr[b], mask_prev, mask_curr)
+        return out_p, out_c
+
     def affinity_link(self, feats_prev: Dict[str, jnp.ndarray],
                       feats_curr: Dict[str, jnp.ndarray],
                       mask_prev, mask_curr, *, train: bool = False

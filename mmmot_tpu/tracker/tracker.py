@@ -158,7 +158,7 @@ class TrackingModule:
         elif use_pallas_affinity and not pallas_supported(net.cfg):
             raise ValueError(
                 "pallas affinity kernel does not cover this config "
-                "(needs num_layers=2, gnn_rounds=0, new_end version>=2); "
+                "(needs num_layers=2, new_end version>=2); "
                 "use use_pallas_affinity=False/None")
         self.use_pallas_affinity = use_pallas_affinity
         self.pallas_interpret = pallas_interpret
@@ -302,6 +302,21 @@ class TrackingModule:
         from mmmot_tpu.models.tracking_net import AffinityOutput, score_branches
 
         cfg = self.net.cfg
+        gnn = bool(cfg.affinity.gnn_rounds)
+        if gnn:
+            # Message passing composes with the kernel: the hops run as
+            # batched XLA ops (net.gnn_refine) and the kernel consumes the
+            # REFINED embeddings for the correlation/link math (which is
+            # GNN-independent).  The new/end heads consume the RAW fused
+            # embeddings in the XLA architecture (TrackingNet.affinity
+            # applies them outside AffinityModule), so they are re-derived
+            # below from the kernel's link output — they are [N, D] MLPs,
+            # noise next to the pairwise correlation.
+            raw_fused_p = feats_prev["fused"]
+            raw_fused_c = feats_curr["fused"]
+            feats_prev, feats_curr = self.net.apply(
+                self.variables, feats_prev, feats_curr, mask_prev,
+                mask_curr, method=self.net.gnn_refine)
         branches = tuple(b for b in score_branches(cfg)
                          if b in feats_prev and b in feats_curr)
         if not branches:
@@ -327,6 +342,14 @@ class TrackingModule:
         if unbatched:
             link, link_norm = link[0], link_norm[0]
             new, end = new[0], end[0]
+        if gnn:
+            def _ne(net, fp, fc, l, mp, mc):
+                return net.new_end(fp, fc, l, mp, mc, train=False)
+
+            new, end = self.net.apply(
+                self.variables, raw_fused_p, raw_fused_c, link,
+                mask_prev[0] if unbatched else mask_prev,
+                mask_curr[0] if unbatched else mask_curr, method=_ne)
         return AffinityOutput(link=link, link_norm=link_norm, new=new,
                               end=end)
 

@@ -385,3 +385,97 @@ def test_window_export_matches_live_and_chains(tmp_path, rng):
 
     with pytest.raises(ValueError, match="window"):
         DeployedTracker.load(out_dir)
+
+
+def test_multistream_step_matches_per_stream(artifact, rng):
+    """The vmapped multi-stream step (deploy._build_multistream_step) must
+    advance each ACTIVE stream exactly like S separate per-frame steps —
+    including flushes where only a subset of slots carries a frame
+    (inactive lanes must leave their stream's state untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.deploy import (_build_multistream_step, _build_step,
+                                  _fresh_state, _state_to_dict)
+    from mmmot_tpu.tracker import TrackingModule
+
+    cfg, net, variables = artifact["cfg"], artifact["net"], \
+        artifact["variables"]
+    module = TrackingModule(net, variables, cfg.assoc)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    S = 3
+    step = jax.jit(_build_step(net, cfg.assoc, crop, P))
+    multi = jax.jit(_build_multistream_step(net, cfg.assoc, crop, P))
+
+    # Distinct scenes per stream (different det counts + content).
+    scenes = [_scene(np.random.default_rng(100 + s), n_frames=3,
+                     n_dets=1 + s) for s in range(S)]
+
+    def padded(fr):
+        n = len(fr["boxes"])
+        boxes = np.zeros((N, 4), np.float32)
+        boxes[:n] = fr["boxes"]
+        mask = np.zeros((N,), bool)
+        mask[:n] = True
+        return boxes, mask, n
+
+    # Reference: each stream stepped separately.
+    ref_ids = [[] for _ in range(S)]
+    for s in range(S):
+        st = _state_to_dict(_fresh_state(module, N))
+        for fr in scenes[s]:
+            boxes, mask, n = padded(fr)
+            st, ids, _ = step(variables, st, fr["image"], fr["cloud"],
+                              boxes, mask, fr["proj"])
+            ref_ids[s].append(np.asarray(ids)[:n].tolist())
+
+    # Multi-stream: frame 0 flushes with ALL streams active, frame 1 with
+    # only streams {0, 2} (stream 1 skips a batch), frame 2 catches
+    # stream 1 up alone, then streams {0, 2} finish together.
+    one0 = _state_to_dict(_fresh_state(module, N))
+    states = jax.tree.map(lambda x: jnp.stack([x] * S), one0)
+    bufs = {"images": np.zeros((S,) + scenes[0][0]["image"].shape,
+                               np.uint8),
+            "clouds": np.zeros((S,) + scenes[0][0]["cloud"].shape,
+                               np.float32),
+            "boxes": np.zeros((S, N, 4), np.float32),
+            "det_mask": np.zeros((S, N), bool),
+            "projs": np.zeros((S, 3, 4), np.float32)}
+    got = [[] for _ in range(S)]
+    frame_of = [0] * S
+
+    def run_flush(active_slots):
+        nonlocal states
+        active = np.zeros((S,), bool)
+        for s in active_slots:
+            fr = scenes[s][frame_of[s]]
+            boxes, mask, _n = padded(fr)
+            bufs["images"][s] = fr["image"]
+            bufs["clouds"][s] = fr["cloud"]
+            bufs["boxes"][s] = boxes
+            bufs["det_mask"][s] = mask
+            bufs["projs"][s] = fr["proj"]
+            active[s] = True
+        states, ids, _ = multi(variables, states, jnp.asarray(active),
+                               jnp.asarray(bufs["images"]),
+                               jnp.asarray(bufs["clouds"]),
+                               jnp.asarray(bufs["boxes"]),
+                               jnp.asarray(bufs["det_mask"]),
+                               jnp.asarray(bufs["projs"]))
+        ids = np.asarray(ids)
+        for s in active_slots:
+            n = len(scenes[s][frame_of[s]]["boxes"])
+            got[s].append(ids[s, :n].tolist())
+            frame_of[s] += 1
+        # Inactive slots answer -1 everywhere.
+        for s in set(range(S)) - set(active_slots):
+            assert (ids[s] == -1).all()
+
+    run_flush([0, 1, 2])
+    run_flush([0, 2])
+    run_flush([1])
+    run_flush([0, 2])
+    run_flush([1])
+
+    assert got == ref_ids, (got, ref_ids)

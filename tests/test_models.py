@@ -151,6 +151,63 @@ def test_train_mode_updates_batch_stats(net_and_vars):
     assert changed
 
 
+def test_s2d_stem_shapes_and_stage_map():
+    """AppearanceConfig.s2d_stem (TPU stem redesign): a 2x2 space-to-depth
+    replaces pool1, so the stage-1 convs see 12 input channels at half
+    resolution while every stage's OUTPUT shape (and the embedding) is
+    unchanged — downstream consumers (skip pool, int8 path, fusion) never
+    see a different contract."""
+    from mmmot_tpu.models.appearance import (VGGBackbone, space_to_depth,
+                                             trunk_ops)
+
+    # space_to_depth is a pure relayout: block pixels land in channels.
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 2, 2, 12)
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 0, 0]),
+        np.concatenate([np.asarray(x[0, 0, 0]), np.asarray(x[0, 0, 1]),
+                        np.asarray(x[0, 1, 0]), np.asarray(x[0, 1, 1])]))
+
+    # trunk_ops: same conv/stage counts, one fewer pool, s2d first.
+    base = trunk_ops(11, False)
+    s2d = trunk_ops(11, True)
+    count = lambda ops, k: sum(1 for o in ops if o[0] == k)  # noqa: E731
+    assert s2d[0] == ("s2d",)
+    assert count(s2d, "conv") == count(base, "conv")
+    assert count(s2d, "stage") == count(base, "stage") == 5
+    assert count(s2d, "pool") == count(base, "pool") - 1
+
+    key = jax.random.PRNGKey(0)
+    xin = jax.random.normal(key, (3, HW, HW, 3))
+    shapes = {}
+    for s2d_on in (False, True):
+        bb = VGGBackbone(depth=11, width_mult=0.0625, s2d_stem=s2d_on)
+        vars_ = jax.jit(lambda x: bb.init(key, x))(xin)
+        stages = jax.jit(lambda v, x: bb.apply(v, x))(vars_, xin)
+        shapes[s2d_on] = [tuple(s.shape) for s in stages]
+        if s2d_on:
+            k0 = vars_["params"]["conv_0"]["kernel"]
+            assert k0.shape[:3] == (3, 3, 12), k0.shape
+    assert shapes[True] == shapes[False]
+
+    # Full appearance net end-to-end: same embedding contract.
+    cfg = tiny_cfg(appearance=AppearanceConfig(
+        depth=11, crop_size=(HW, HW), reduction_dim=16, out_dim=D,
+        width_mult=0.0625, s2d_stem=True))
+    net = model_entry(cfg)
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, [[3, 4], [5, 2]])
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda v, b: net.apply(v, b, train=False))(vars_, batch)
+    assert out["link"].shape == (B, T - 1, N, N)
+
+    # Odd crop sizes are rejected at config construction.
+    with pytest.raises(ValueError, match="even crop dims"):
+        AppearanceConfig(crop_size=(33, 33), s2d_stem=True)
+
+
 def test_masked_bn_no_mask_train_under_jit():
     """mask=None + train mode must work under jit (regression: the valid-
     count used float() on a traced constant and raised

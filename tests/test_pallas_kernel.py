@@ -22,12 +22,13 @@ D = 32  # tiny() out_dim
 
 
 def make_net(pool="max", softmax_mode="dual", score_fusion="add",
-             compute_dtype="float32", ops=("subabs",)):
+             compute_dtype="float32", ops=("subabs",), gnn_rounds=0):
     cfg = tiny().model
     cfg = dataclasses.replace(
         cfg,
         affinity=dataclasses.replace(cfg.affinity, correlation_ops=ops,
-                                     softmax_mode=softmax_mode),
+                                     softmax_mode=softmax_mode,
+                                     gnn_rounds=gnn_rounds),
         new_end=dataclasses.replace(cfg.new_end, pool=pool),
         score_fusion=score_fusion, compute_dtype=compute_dtype)
     net = model_entry(cfg)
@@ -191,10 +192,33 @@ def test_fused_kernel_single_branch_dead_sensor():
     assert_close(xla, pal)
 
 
+@pytest.mark.parametrize("gnn_rounds", [1, 2])
+def test_fused_kernel_with_gnn_rounds(gnn_rounds):
+    """gnn_rounds > 0 composes with the kernel: the message-passing hops
+    run as XLA ops (net.gnn_refine) and the kernel consumes the refined
+    embeddings — the composition must match the full XLA affinity
+    (which runs the hops inside AffinityModule) exactly."""
+    net, variables = make_net(gnn_rounds=gnn_rounds)
+    r = np.random.default_rng(7)
+    N = 8
+    fp, fc = rand_feats(r, (N, D)), rand_feats(r, (N, D))
+    mp = jnp.asarray(np.arange(N) < 5)
+    mc = jnp.asarray(np.arange(N) < 7)
+    xla, pal = run_both(net, variables, fp, fc, mp, mc)
+    assert_close(xla, pal, tol=1e-4)
+    # Batched pairs (the parallel pre-solve shape) compose too.
+    T = 3
+    fpb, fcb = rand_feats(r, (T, N, D)), rand_feats(r, (T, N, D))
+    mpb = jnp.asarray(r.random((T, N)) < 0.8)
+    mcb = jnp.asarray(r.random((T, N)) < 0.8)
+    xla_b, pal_b = run_both(net, variables, fpb, fcb, mpb, mcb)
+    assert_close(xla_b, pal_b, tol=1e-4)
+
+
 def test_unsupported_config_raises_and_auto_falls_back():
     cfg = tiny().model
     cfg = dataclasses.replace(
-        cfg, affinity=dataclasses.replace(cfg.affinity, gnn_rounds=1))
+        cfg, affinity=dataclasses.replace(cfg.affinity, num_layers=3))
     net = model_entry(cfg)
     with pytest.raises(ValueError, match="pallas affinity"):
         TrackingModule(net, {}, use_pallas_affinity=True)

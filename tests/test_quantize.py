@@ -23,9 +23,11 @@ from mmmot_tpu.tracker.sequence import track_sequence
 from mmmot_tpu.tracker.tracker import TrackingModule
 
 
-def make_net(compute_dtype="float32"):
+def make_net(compute_dtype="float32", s2d_stem=False):
     cfg = tiny().model
-    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    cfg = dataclasses.replace(
+        cfg, compute_dtype=compute_dtype,
+        appearance=dataclasses.replace(cfg.appearance, s2d_stem=s2d_stem))
     net = model_entry(cfg)
     N, P, (h, w) = 8, cfg.point.point_len, cfg.appearance.crop_size
     dummy = {
@@ -45,10 +47,13 @@ def rand_crops(r, shape):
     return jnp.asarray(r.normal(0.0, 1.0, shape).astype(np.float32))
 
 
-def test_quantized_trunk_matches_float():
+@pytest.mark.parametrize("s2d", [False, True])
+def test_quantized_trunk_matches_float(s2d):
     """Quantized appearance features track the float features closely
-    (random-init net; per-channel weights + calibrated activations)."""
-    cfg, net, variables = make_net()
+    (random-init net; per-channel weights + calibrated activations) —
+    including the space-to-depth stem (the int8 path must mirror the SAME
+    trunk_ops sequence, with the relayout commuting with quantization)."""
+    cfg, net, variables = make_net(s2d_stem=s2d)
     r = np.random.default_rng(1)
     crops = rand_crops(r, (12, *cfg.appearance.crop_size, 3))
     mask = jnp.asarray(np.arange(12) < 10)

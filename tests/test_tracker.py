@@ -272,6 +272,25 @@ def test_parallel_assoc_matches_sequential():
         TrackingModule(net, vars_, AssocConfig(use_det_scores=True),
                        parallel_assoc=True)
 
+    # gnn_rounds > 0 stays SOUND with the parallel pre-solve (features
+    # depend on the true det masks, never on decisions) — equality must
+    # hold with message passing on too.
+    import dataclasses as _dc
+
+    cfg_g = _dc.replace(cfg, affinity=_dc.replace(cfg.affinity,
+                                                  gnn_rounds=1))
+    net_g = model_entry(cfg_g)
+    vars_g = jax.jit(lambda r, b: net_g.init({"params": r}, b,
+                                             train=False))(key, batch)
+    outs_g = {mode: jax.jit(lambda c, p, q, d, m=m: track_sequence(
+        m, c, p, q, d))(crops, points, pm, dm)
+        for mode, m in ((mo, TrackingModule(
+            net_g, vars_g, AssocConfig(),
+            parallel_assoc=(mo == "parallel")))
+            for mo in ("parallel", "sequential"))}
+    np.testing.assert_array_equal(np.asarray(outs_g["parallel"]["ids"]),
+                                  np.asarray(outs_g["sequential"]["ids"]))
+
 
 def test_pallas_affinity_end_to_end_matches_xla():
     """Full sequence pipeline with the fused Pallas affinity kernel
