@@ -20,10 +20,14 @@ for look-alike discrimination) and scores each on the held-out sequence:
 * ``stack``  — y_det LP rejection + revival_window=2 + spatial gate
   (+ coverage), the production mitigation stack.
 
-``gnn_rounds > 0`` disables the fused Pallas kernel AND both hybrid
-pre-solves (mask-dependent features), so each row also records the
-runner's end-to-end FPS — the quality-vs-throughput price of message
-passing in one table.  Results land in results/adversarial_gnn.json.
+Since round 5 ``gnn_rounds > 0`` COMPOSES with the fused Pallas kernel
+(the hops run as batched XLA ops and the kernel consumes the refined
+embeddings — tracker.TrackingModule._affinity_pallas) and stays sound
+with the plain parallel pre-solve; only the hybrid pre-solves remain
+sequential (mask-dependent features).  Each row records the runner's
+end-to-end FPS and which execution strategy ran, so the
+quality-vs-throughput price of message passing is measured, not assumed.
+Results land in results/adversarial_gnn.json.
 
     python scripts/adversarial_gnn_run.py [--gnn 0 1 2] [--epochs 10]
     python scripts/adversarial_gnn_run.py --tiny --cpu     # CI smoke
@@ -57,6 +61,13 @@ def main():
     ap.add_argument("--out", default="results/adversarial_gnn.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--k-sweep", type=int, nargs="*", default=[],
+                    help="extra stack rows at these revival windows "
+                         "(e.g. --k-sweep 4 8; K=2 is the stack default)")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="persist/reuse per-gnn trained weights "
+                         "(<dir>/adv_gnn<rounds>.msgpack): written after "
+                         "training, training SKIPPED if present")
     args = ap.parse_args()
 
     if args.cpu:
@@ -123,20 +134,37 @@ def main():
                               loss_weights=cfg.train.loss_weights,
                               compact_capacity=cfg.train.compact_capacity)
 
-        step_fn = jax.jit(_step)
-        t0 = time.time()
-        for epoch in range(cfg.train.epochs):
-            losses = []
-            for _ in range(args.steps_per_epoch):
-                state, metrics = step_fn(
-                    state, next(batch_iter),
-                    jax.random.fold_in(key, int(state.step)))
-                losses.append(float(metrics["total"]))
-            print(f"[gnn={rounds}] epoch {epoch}: "
-                  f"loss {np.mean(losses):.4f}", flush=True)
-        train_s = time.time() - t0
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        ckpt = (os.path.join(args.ckpt_dir, f"adv_gnn{rounds}.msgpack")
+                if args.ckpt_dir else "")
+        from flax import serialization
+
+        if ckpt and os.path.exists(ckpt):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            with open(ckpt, "rb") as fh:
+                variables = serialization.from_bytes(variables, fh.read())
+            train_s = 0.0
+            print(f"[gnn={rounds}] reusing weights from {ckpt}", flush=True)
+        else:
+            step_fn = jax.jit(_step)
+            t0 = time.time()
+            for epoch in range(cfg.train.epochs):
+                losses = []
+                for _ in range(args.steps_per_epoch):
+                    state, metrics = step_fn(
+                        state, next(batch_iter),
+                        jax.random.fold_in(key, int(state.step)))
+                    losses.append(float(metrics["total"]))
+                print(f"[gnn={rounds}] epoch {epoch}: "
+                      f"loss {np.mean(losses):.4f}", flush=True)
+            train_s = time.time() - t0
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            if ckpt:
+                os.makedirs(args.ckpt_dir, exist_ok=True)
+                with open(ckpt, "wb") as fh:
+                    fh.write(serialization.to_bytes(variables))
+                print(f"[gnn={rounds}] saved weights to {ckpt}", flush=True)
 
         def run(tag, assoc):
             module = TrackingModule(net, variables, assoc)
@@ -151,6 +179,12 @@ def main():
                    "recall": round(float(m.recall), 4),
                    "precision": round(float(m.precision), 4),
                    "pipeline_fps": round(float(stats["fps"]), 1),
+                   # Execution strategy that actually ran (the gnn/kernel
+                   # composition story): fused kernel on/off, batched
+                   # parallel pre-solve vs hybrid vs sequential scan.
+                   "pallas": bool(module.use_pallas_affinity),
+                   "parallel_assoc": bool(module.parallel_assoc),
+                   "hybrid_presolve": bool(module.hybrid_presolve),
                    "train_seconds": round(train_s, 1)}
             if "hota" in stats:
                 row["hota"] = round(float(stats["hota"].hota), 4)
@@ -164,6 +198,14 @@ def main():
             revival_window=2, iou_weight=1.0, iou_gate=0.1,
             ghost_coverage=True)
         rows[f"gnn{rounds}_stack"] = run("stack", stack)
+        if args.k_sweep:
+            # Revival window on the regime with occlusion BURSTS — where a
+            # longer K could matter (round-4 verdict weak #2: K=2 was the
+            # first value tried, never swept here).
+            for K in args.k_sweep:
+                rows[f"gnn{rounds}_stack_k{K}"] = run(
+                    f"stack_k{K}",
+                    dataclasses.replace(stack, revival_window=K))
 
     section = {
         "what": "ADVERSARIAL association regime: identical-appearance "
@@ -171,11 +213,14 @@ def main():
                 "occlusion-correlated detector dropout — the setting "
                 "message passing (reference models/gcn.py) exists for.  "
                 "One model per gnn_rounds, plain + full-stack association "
-                "on the held-out sequence.  gnn_rounds > 0 runs the XLA "
-                "affinity (no fused kernel) and, for the stack, the "
-                "fully sequential scan (hybrid pre-solves are unsound "
-                "with mask-dependent features) — pipeline_fps records "
-                "that price end-to-end.",
+                "on the held-out sequence.  Since round 5 gnn_rounds > 0 "
+                "composes with the fused Pallas kernel (hops as XLA ops, "
+                "kernel on refined embeddings) and the plain parallel "
+                "pre-solve; the stack still runs the sequential scan "
+                "(hybrid pre-solves are unsound with mask-dependent "
+                "features) but WITH the kernel — each row's pallas/"
+                "parallel_assoc/hybrid_presolve flags and pipeline_fps "
+                "record what ran and what it cost.",
         "command": (f"python scripts/adversarial_gnn_run.py --epochs "
                     f"{args.epochs} --steps-per-epoch "
                     f"{args.steps_per_epoch} --gnn "

@@ -84,6 +84,17 @@ def main():
     ap.add_argument("--sweep-k", action="store_true",
                     help="sweep the revival window K in {1, 2, 4, 8} on "
                          "top of the full stack (gate, no coverage)")
+    ap.add_argument("--sweep-combo", action="store_true",
+                    help="revival-window x coverage-cap combinations "
+                         "(cover_k{K}_m{m} rows) — the Pareto hunt the "
+                         "two single-axis sweeps point at")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (AppearanceConfig.s2d_stem "
+                         "— the TPU stem redesign, NOT reference-"
+                         "faithful): train + score the same regime with "
+                         "the s2d trunk and write the ..._s2d section — "
+                         "the quality side of the stem-rewrite trade "
+                         "(throughput side: MMMOT_BENCH_S2D=1 bench.py)")
     ap.add_argument("--distractors", action="store_true",
                     help="build the tree WITH ignore-semantics GT (Van "
                          "distractor tracks, DontCare clutter regions, "
@@ -133,6 +144,8 @@ def main():
             kw["crop"] = args.crop
         if args.point_len:
             kw["point_len"] = args.point_len
+        if args.s2d:
+            kw["s2d_stem"] = True
         cfg = flagship(**kw)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, root=args.root,
@@ -279,6 +292,15 @@ def main():
         for K in (4, 8):
             acfg = dataclasses.replace(cover, revival_window=K)
             rows[f"cover_k{K}"] = run(f"cover_k{K}", acfg)[0]
+    if args.sweep_combo:
+        # The Pareto hunt the two sweeps point at: a longer revival window
+        # (K=4 buys IDS 13->2 / HOTA +0.09 on this regime) COMBINED with
+        # the coverage emission cap (which pays for K=4's uncapped FP).
+        for K, m_cap in ((4, 1), (4, 2), (4, 3), (8, 2)):
+            acfg = dataclasses.replace(cover, revival_window=K,
+                                       coverage_max_miss=m_cap)
+            rows[f"cover_k{K}_m{m_cap}"] = run(f"cover_k{K}_m{m_cap}",
+                                               acfg)[0]
 
     if not args.skip_int8:
         # Int8 appearance trunk on the SAME trained weights, calibrated on
@@ -303,7 +325,8 @@ def main():
         cli += f" --crop {args.crop}"
     if args.point_len:
         cli += f" --point-len {args.point_len}"
-    for flag in ("distractors", "sweep_coverage", "sweep_k"):
+    for flag in ("distractors", "sweep_coverage", "sweep_k", "sweep_combo",
+                 "s2d"):
         if getattr(args, flag):
             cli += " --" + flag.replace("_", "-")
     section = {
@@ -330,6 +353,8 @@ def main():
         else f"noisy_detector_crop{args.crop}"
     if args.distractors:
         key_name += "_distractors"
+    if args.s2d:
+        key_name += "_s2d"
     if key_name in doc and isinstance(doc[key_name].get("rows"), dict):
         # Sweep invocations (--skip-base-rows) MERGE into the existing
         # section instead of dropping the base rows.
