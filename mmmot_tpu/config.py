@@ -314,6 +314,24 @@ class AssocConfig:
                                        # low-confidence tracks stop paying
                                        # the FP price of coverage.  0 = no
                                        # confidence gate.
+    gate_predict: bool = False         # MOTION-PREDICTED spatial gating:
+                                       # the iou_gate/iou_weight prior
+                                       # compares the current detections
+                                       # against each track's constant-
+                                       # velocity PREDICTED box (frozen box
+                                       # + (missed+1) * last link velocity)
+                                       # instead of its stale frozen box —
+                                       # a ghost that crossed the frame
+                                       # during an occlusion burst gates
+                                       # where it IS, not where it was.
+                                       # Requires ghost_coverage (the
+                                       # velocity is carried state) and a
+                                       # spatial gate; runs via the
+                                       # sequential scan or the revival
+                                       # hybrid pre-solve (velocities are
+                                       # decision-dependent, so the plain
+                                       # parallel/y_det pre-solves cannot
+                                       # carry them).
 
     def __post_init__(self):
         if self.coverage_max_miss < 0:
@@ -326,6 +344,15 @@ class AssocConfig:
                 f"coverage_max_miss={self.coverage_max_miss} exceeds "
                 f"revival_window={self.revival_window}: coverage can only "
                 "be emitted while the ghost is still in the pool")
+        if self.gate_predict:
+            if not self.ghost_coverage:
+                raise ValueError(
+                    "gate_predict needs ghost_coverage (the per-track "
+                    "velocity is carried state)")
+            if self.iou_gate <= 0.0 and self.iou_weight == 0.0:
+                raise ValueError(
+                    "gate_predict without iou_gate/iou_weight does "
+                    "nothing: configure the spatial gate it predicts for")
 
 
 @dataclass(frozen=True)

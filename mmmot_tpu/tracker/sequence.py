@@ -515,8 +515,15 @@ def _revival_track(module: TrackingModule, feats: Dict[str, jnp.ndarray],
         link_norm = normalize_link(link, mask, dm_pad,
                                    net.cfg.affinity.softmax_mode)
         if gating:
+            gate_prev = bfl[src]
+            if cfg.gate_predict:
+                # Motion-predicted gating (tracker.step_from_feats): the
+                # carried velocity + missed counter extrapolate each
+                # slot's frozen box to the current frame.
+                gate_prev = gate_prev + (
+                    missed[:, None].astype(jnp.float32) + 1.0) * vel
             link_norm = apply_spatial_gate(
-                link_norm, bfl[src], jnp.pad(box_t, ((0, G), (0, 0))),
+                link_norm, gate_prev, jnp.pad(box_t, ((0, G), (0, 0))),
                 cfg)
         if clsing:
             link_norm = apply_class_gate(

@@ -407,7 +407,17 @@ class TrackingModule:
                     "them as feats['box'] (the raw-frames pipeline and "
                     "predict(boxes=...) do; the crops-only track_sequence "
                     "path needs its boxes argument)")
-            link = apply_spatial_gate(link, state.feats["box"],
+            gate_prev = state.feats["box"]
+            if self.assoc_cfg.gate_predict:
+                # Motion-predicted gating: compare against each track's
+                # constant-velocity PREDICTED box at the current frame.
+                # A slot frozen at its last match, missed m frames, is
+                # m + 1 frames behind the current frame (live slots have
+                # m = 0: a one-step prediction).
+                gate_prev = gate_prev + (
+                    state.missed[..., None].astype(jnp.float32) + 1.0
+                ) * state.feats["boxvel"]
+            link = apply_spatial_gate(link, gate_prev,
                                       feats["box"], self.assoc_cfg)
         if self.class_gating:
             if "cls" not in feats:

@@ -198,6 +198,13 @@ def main():
             revival_window=2, iou_weight=1.0, iou_gate=0.1,
             ghost_coverage=True)
         rows[f"gnn{rounds}_stack"] = run("stack", stack)
+        # Motion-predicted gating (assoc.gate_predict): the iou gate
+        # compares against each track's constant-velocity PREDICTED box —
+        # on THIS regime (occlusion bursts at crossings) the frozen box
+        # is stale by exactly the miss length, so this is where a motion
+        # prior should earn its keep (round-4 verdict weak #3).
+        rows[f"gnn{rounds}_stack_pred"] = run(
+            "stack_pred", dataclasses.replace(stack, gate_predict=True))
         if args.k_sweep:
             # Revival window on the regime with occlusion BURSTS — where a
             # longer K could matter (round-4 verdict weak #2: K=2 was the

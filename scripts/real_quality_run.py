@@ -301,6 +301,12 @@ def main():
                                        coverage_max_miss=m_cap)
             rows[f"cover_k{K}_m{m_cap}"] = run(f"cover_k{K}_m{m_cap}",
                                                acfg)[0]
+        # Motion-predicted gating at the winning point (slow movers here —
+        # the adversarial regime is where it should matter; this row
+        # verifies it is at least harmless on the easy regime).
+        acfg = dataclasses.replace(cover, revival_window=4,
+                                   coverage_max_miss=1, gate_predict=True)
+        rows["cover_k4_m1_pred"] = run("cover_k4_m1_pred", acfg)[0]
 
     if not args.skip_int8:
         # Int8 appearance trunk on the SAME trained weights, calibrated on

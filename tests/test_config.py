@@ -32,9 +32,13 @@ def test_noisy_experiment_exposes_mitigation_stack():
     cfg = load_config("experiments/full_mmmot_noisy/config.yaml")
     assert cfg.name == "full_mmmot_noisy"
     assert cfg.assoc.use_det_scores and cfg.assoc.raw_new_end
-    assert cfg.assoc.revival_window == 2
+    # Round-5 swept operating point (cover_k4_m1,
+    # results/real_tree_quality.json): K=4 revival, coverage emission
+    # capped at the first missed frame.
+    assert cfg.assoc.revival_window == 4
     assert cfg.assoc.iou_gate == 0.1 and cfg.assoc.iou_weight == 1.0
     assert cfg.assoc.ghost_coverage
+    assert cfg.assoc.coverage_max_miss == 1
     assert cfg.data.det_source == "noisy"
     # The stack must resolve onto the ghost-pool hybrid pre-solve (the
     # throughput-preserving path), not the fully sequential scan.

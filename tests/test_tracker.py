@@ -451,6 +451,8 @@ def test_revival_hybrid_matches_sequential():
                     coverage_max_miss=1),
         AssocConfig(solver="auction", revival_window=2,
                     ghost_coverage=True, coverage_min_score=0.5),
+        AssocConfig(solver="auction", revival_window=2, iou_weight=0.5,
+                    iou_gate=0.01, ghost_coverage=True, gate_predict=True),
     ]
     for acfg in variants:
         outs = {}
@@ -629,6 +631,69 @@ def test_coverage_knobs_gate_emission():
     for t in (2, 3):
         assert (np.asarray(lo["ghost_ids"])[t] == tid).any()
     np.testing.assert_array_equal(np.asarray(hi["ids"]), ids)
+
+
+def test_gate_predict_revives_fast_mover():
+    """assoc.gate_predict: with a TIGHT IoU gate, a fast-moving track that
+    drops out for 2 frames can only revive if the gate compares against
+    its constant-velocity PREDICTED box — the frozen box has drifted out
+    of overlap.  Frozen-box gating (gate_predict=False) must fail on the
+    same scene, proving the prediction is what does the work."""
+    import dataclasses
+
+    from mmmot_tpu.configs import tiny
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule, track_sequence
+
+    cfg = tiny().model
+    net = model_entry(cfg)
+    T, Ns, P = 7, 4, 16
+    batch = {"crops": jnp.zeros((1, 2, Ns, 32, 32, 3)),
+             "points": jnp.zeros((1, 2, Ns, P, 4)),
+             "point_mask": jnp.ones((1, 2, Ns, P), bool),
+             "det_mask": jnp.ones((1, 2, Ns), bool)}
+    vars_ = jax.jit(lambda r, b: net.init({"params": r}, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    sig = jax.random.normal(jax.random.PRNGKey(5), (32, 32, 3))
+    sigp = jax.random.normal(jax.random.PRNGKey(5), (P, 4))
+    crops = jnp.tile(sig[None, None], (T, Ns, 1, 1, 1))
+    points = jnp.tile(sigp[None, None], (T, Ns, 1, 1))
+    pm = jnp.ones((T, Ns, P), bool)
+    present = jnp.asarray([1, 1, 0, 0, 1, 1, 1], bool)
+    dm = jnp.zeros((T, Ns), bool).at[:, 0].set(present)
+    # 12 px/frame with a 30-px-wide box: consecutive frames overlap at
+    # IoU 0.43 (the live links pass the 0.2 gate), but across the 2-frame
+    # gap the frozen box is 36 px behind — zero overlap with the
+    # reappearance, so only the predicted box can gate the revival in.
+    boxes = np.zeros((T, Ns, 4), np.float32)
+    for t in range(T):
+        boxes[t, 0] = [10 + 12 * t, 20, 40 + 12 * t, 50]
+    boxes = jnp.asarray(boxes)
+
+    def run(gate_predict):
+        acfg = AssocConfig(solver="auction", revival_window=3,
+                           iou_gate=0.2, iou_weight=1.0,
+                           ghost_coverage=True, gate_predict=gate_predict)
+        m = TrackingModule(net, vars_, acfg)
+        return np.asarray(jax.jit(
+            lambda c, p, q, d, b: track_sequence(m, c, p, q, d, boxes=b))(
+            crops, points, pm, dm, boxes)["ids"])
+
+    ids_pred = run(True)
+    assert ids_pred[4, 0] == ids_pred[1, 0], \
+        "predicted gating must revive the fast mover across the gap"
+    ids_frozen = run(False)
+    assert ids_frozen[4, 0] != ids_frozen[1, 0], \
+        "frozen-box gating must NOT revive it (IoU 0 vs the stale box) — " \
+        "if it does, this scene no longer isolates the prediction"
+
+    # Config guards: gate_predict without coverage / without a gate.
+    with pytest.raises(ValueError, match="ghost_coverage"):
+        AssocConfig(revival_window=2, iou_gate=0.2, gate_predict=True)
+    with pytest.raises(ValueError, match="iou_gate"):
+        AssocConfig(revival_window=2, ghost_coverage=True,
+                    gate_predict=True)
 
 
 def test_hybrid_presolve_gnn_guard():
