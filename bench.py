@@ -260,7 +260,9 @@ def main():
 
         qdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_cache")
-        qpath = os.path.join(qdir, f"quant_int8_crop{CROP}.msgpack")
+        qpath = os.path.join(
+            qdir, f"quant_int8_crop{CROP}{'_s2d' if S2D_MODE else ''}"
+                  ".msgpack")
         refresh = os.environ.get("MMMOT_BENCH_WRITE_CACHE", "") not in (
             "", "0")
         quant = None
@@ -269,7 +271,8 @@ def main():
                 with open(qpath, "rb") as fh:
                     blob = _ser.msgpack_restore(fh.read())
                 if (blob["crop"] == CROP
-                        and blob["depth"] == cfg.model.appearance.depth):
+                        and blob["depth"] == cfg.model.appearance.depth
+                        and blob.get("s2d", False) == S2D_MODE):
                     quant = blob["quant"]
                     hb("int8", f"quant pytree loaded from {qpath}")
             except Exception as e:   # corrupt/stale cache: recompute
@@ -294,6 +297,7 @@ def main():
                     fh.write(_ser.msgpack_serialize(
                         {"crop": CROP,
                          "depth": cfg.model.appearance.depth,
+                         "s2d": S2D_MODE,
                          "quant": quant}))
                 hb("int8_cache", f"quant pytree saved to {qpath}")
         variables = {**variables,
@@ -416,7 +420,7 @@ def main():
                        "compact": compact, "chunk": CHUNK,
                        "crop_window": crop_window, "det_mode": DET_MODE,
                        "revival_window": REVIVAL, "iou_gate": GATE_MODE,
-                       "int8": INT8_MODE,
+                       "int8": INT8_MODE, "s2d": S2D_MODE,
                        "pallas_affinity": module.use_pallas_affinity,
                        "dropped_dets": dropped, "devices": n_dev,
                        "aggregate_fps": round(fps, 2),

@@ -61,6 +61,8 @@ CROP = int(os.environ.get("MMMOT_LAT_CROP", 64 if _CPU else 224))
 P = int(os.environ.get("MMMOT_LAT_P", 64 if _CPU else 512))
 N = int(os.environ.get("MMMOT_LAT_N", 8 if _CPU else 32))
 STEPS = int(os.environ.get("MMMOT_LAT_STEPS", 100))
+# Space-to-depth stem (AppearanceConfig.s2d_stem — the TPU stem redesign).
+S2D = os.environ.get("MMMOT_LAT_S2D", "") not in ("", "0")
 F = 16                      # distinct generated frames, cycled
 _T0 = time.perf_counter()
 
@@ -93,7 +95,7 @@ def main():
     dev = jax.devices()[0]
 
     cfg = flagship(compute_dtype="bfloat16", max_dets=N, crop=CROP,
-                   point_len=P)
+                   point_len=P, s2d_stem=S2D)
     net = model_entry(cfg.model)
 
     # Host-side tiny arrays only (bench.py tunnel rules): boxes + proj.
@@ -250,7 +252,7 @@ def main():
         "metric": "serve_step_latency",
         "unit": "ms/frame",
         "config": {"crop": CROP, "point_len": P, "N": N, "frame": [H, W],
-                   "cloud_points": M, "steps": STEPS,
+                   "cloud_points": M, "steps": STEPS, "s2d_stem": S2D,
                    "backend": jax.default_backend()},
         "bf16": run_mode(variables, "bf16"),
     }
@@ -275,7 +277,8 @@ def main():
     out = os.environ.get("MMMOT_LAT_OUT")
     if out is None and not _CPU:
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "results", "latency.json")
+            os.path.abspath(__file__))), "results",
+            "latency_s2d.json" if S2D else "latency.json")
     if out:
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
