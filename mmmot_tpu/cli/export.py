@@ -41,8 +41,12 @@ def parse_args(argv=None):
                         "streaming pipeline and returns the carried "
                         "state (chain calls for any sequence length)")
     p.add_argument("--capacity", type=int, default=None,
-                   help="compact-first extraction capacity for --window "
-                        "(default W * max_dets — every slot)")
+                   help="compact-first extraction capacity: for --window "
+                        "(default W * max_dets — every slot) and for "
+                        "--streams (default None — extract all S * "
+                        "max_dets padded slots; set ~S x the p99 "
+                        "per-stream detection count to cut the trunk's "
+                        "padding bill, overflow detections drop)")
     p.add_argument("--streams", type=int, default=None, metavar="S",
                    help="export the MULTI-STREAM program instead: one call "
                         "advances up to S concurrent streams' frames (a "
@@ -123,10 +127,12 @@ def main(argv=None):
         from mmmot_tpu.deploy import export_multistream_step
 
         exported, state0 = export_multistream_step(
-            cfg, variables, args.streams, (h, w), m, platforms=platforms)
+            cfg, variables, args.streams, (h, w), m, platforms=platforms,
+            compact_capacity=args.capacity)
         save_artifact(args.out, exported, variables, state0, cfg, (h, w),
                       m, kind="multistream_step",
-                      extra={"streams": args.streams, "int8": int8})
+                      extra={"streams": args.streams, "int8": int8,
+                             "compact_capacity": args.capacity})
         what = f"multistream({args.streams}) step"
     elif args.window:
         exported, state0 = export_window_step(

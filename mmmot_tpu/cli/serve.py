@@ -58,6 +58,15 @@ def parse_args(argv=None):
     p.add_argument("--flush-ms", type=float, default=6.0,
                    help="latency budget: max milliseconds a pending frame "
                         "waits for more streams before the batch flushes")
+    p.add_argument("--compact", type=int, default=None, metavar="C",
+                   help="multi-stream compact capacity: extract features "
+                        "for at most C detections ACROSS the batch "
+                        "(valid-first; overflow detections are dropped, "
+                        "ids -1) instead of all S*N padded slots — the "
+                        "trunk is ~77%% of the step, so C ~= S x the "
+                        "p99 per-stream detection count cuts most of "
+                        "the padding bill (docs/PERFORMANCE.md "
+                        "multi-stream section)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -132,8 +141,9 @@ def _serve_multistream(args, cfg, net, module):
     S = args.streams
     N, P = cfg.data.max_dets, cfg.data.point_len
     crop = tuple(cfg.data.crop_size)
-    multi = jax.jit(_build_multistream_step(net, cfg.assoc, crop, P),
-                    donate_argnums=(1,))
+    multi = jax.jit(_build_multistream_step(
+        net, cfg.assoc, crop, P, compact_capacity=args.compact),
+        donate_argnums=(1,))
 
     def fresh_one():
         return jax.device_put(_state_to_dict(_fresh_state(module, N)))
@@ -360,7 +370,7 @@ def main(argv=None):
         pts, pmask = frustum_sample_batched(
             cloud[None], boxes[None], proj, P, det_mask=det_mask[None])
         feats = mod.extract(crops, pts[0], pmask[0], det_mask)
-        if mod.spatial_gating:
+        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
             feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(track_state, feats, det_mask)
         return new_state, out["ids"]

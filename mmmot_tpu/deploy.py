@@ -166,7 +166,7 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
             cloud[None], boxes[None], proj, point_len,
             det_mask=det_mask[None])
         feats = mod.extract(crops, pts[0], pmask[0], det_mask)
-        if mod.spatial_gating:
+        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
             feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(_state_from_dict(state_d),
                                              feats, det_mask)
@@ -177,7 +177,8 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
 
 def _build_multistream_step(net, assoc_cfg, crop: Tuple[int, int],
                             point_len: int,
-                            use_pallas: Optional[bool] = None):
+                            use_pallas: Optional[bool] = None,
+                            compact_capacity: Optional[int] = None):
     """Vmapped MULTI-STREAM serving step: S concurrent streams' frames in
     ONE program (SURVEY §5.7; the round-4 latency study's missing product
     piece — batched windows are ~3x cheaper per frame than single-stream
@@ -194,12 +195,32 @@ def _build_multistream_step(net, assoc_cfg, crop: Tuple[int, int],
     buys the one-program batching) and returns ids -1 — so a flush with
     only k < S pending frames still advances exactly those k streams,
     identical to k separate per-frame steps (tested).
+
+    ``compact_capacity`` (round 5): the padded step extracts features for
+    all S·N slots while real frames average ~10 valid detections of N=32
+    — the trunk is 77% of the step, so that padding is most of the bill.
+    With a capacity C, the valid (stream, slot) pairs are gathered
+    valid-first into C compact rows (the windows pipeline's
+    compact-first machinery, tracker/sequence.py::_compact_extract), the
+    trunk runs on C crops instead of S·N, and features scatter back.
+    Per-stream counts vary but their SUM across streams concentrates, so
+    C well under S·N is safe — size it at S times the expected p99
+    per-stream count.  If more than C slots are valid the overflow
+    detections are DROPPED (their ids return -1, exactly like padding) —
+    valid-first order keeps earlier streams'/slots' detections.  Cheap
+    full-grid work (crop-resize ~0.14 ms, frustum ~0.29 ms per frame)
+    stays padded; only the trunk compacts.
     """
     import jax
     import jax.numpy as jnp
 
     step = _build_step(net, assoc_cfg, crop, point_len,
                        use_pallas=use_pallas)
+
+    if compact_capacity is not None:
+        return _build_multistream_step_compact(
+            net, assoc_cfg, crop, point_len, int(compact_capacity),
+            use_pallas=use_pallas)
 
     def multi(weights, states_d, active, images, clouds, boxes, det_masks,
               projs):
@@ -219,13 +240,63 @@ def _build_multistream_step(net, assoc_cfg, crop: Tuple[int, int],
     return multi
 
 
+def _build_multistream_step_compact(net, assoc_cfg, crop: Tuple[int, int],
+                                    point_len: int, capacity: int,
+                                    use_pallas: Optional[bool] = None):
+    """Compact-first variant of :func:`_build_multistream_step` (same
+    signature/semantics; see its docstring for the capacity contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.ops.crop_resize import (crop_and_resize_batched,
+                                           normalize_crops)
+    from mmmot_tpu.ops.frustum import frustum_sample_batched
+    from mmmot_tpu.tracker import TrackingModule
+    from mmmot_tpu.tracker.sequence import _compact_extract
+
+    def multi(weights, states_d, active, images, clouds, boxes, det_masks,
+              projs):
+        mod = TrackingModule(net, weights, assoc_cfg,
+                             use_pallas_affinity=use_pallas)
+        # Inactive lanes must not consume compact capacity.
+        live = det_masks & active[:, None]
+        crops = crop_and_resize_batched(
+            images.astype(jnp.float32), boxes, crop, live, method="mxu")
+        crops = normalize_crops(crops, scale=1.0 / 255.0)
+        pts, pmask = frustum_sample_batched(
+            clouds, boxes, projs, point_len, det_mask=live)
+        feats, kept = _compact_extract(mod, crops, pts, pmask, live,
+                                       capacity=capacity)
+        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
+            feats["box"] = boxes.astype(jnp.float32)
+
+        def one(state_d, f, m):
+            ns, out = mod.step_from_feats(_state_from_dict(state_d), f, m)
+            return _state_to_dict(ns), out["ids"], out["det_score"]
+
+        new_states, ids, scores = jax.vmap(one)(states_d, feats, kept)
+
+        def sel(n, o):
+            a = active.reshape(active.shape + (1,) * (n.ndim - 1))
+            return jnp.where(a, n, o)
+
+        states2 = jax.tree.map(sel, new_states, states_d)
+        ids = jnp.where(active[:, None], ids, -1)
+        scores = scores * active[:, None].astype(scores.dtype)
+        return states2, ids, scores
+
+    return multi
+
+
 def export_multistream_step(cfg, variables, streams: int,
                             image_hw: Tuple[int, int], cloud_points: int,
-                            platforms: Tuple[str, ...] = ("cpu", "tpu")):
+                            platforms: Tuple[str, ...] = ("cpu", "tpu"),
+                            compact_capacity: Optional[int] = None):
     """AOT-export the multi-stream step (see _build_multistream_step).
 
     Returns ``(jax.export.Exported, stacked state0)``; manifest kind is
-    ``multistream_step`` with a ``streams`` field."""
+    ``multistream_step`` with ``streams`` / ``compact_capacity``
+    fields."""
     import jax
     import jax.numpy as jnp
 
@@ -241,7 +312,8 @@ def export_multistream_step(cfg, variables, streams: int,
     H, W = image_hw
     S = int(streams)
     multi = _build_multistream_step(net, cfg.assoc, crop, P,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    compact_capacity=compact_capacity)
     one0 = _state_to_dict(_fresh_state(module, N))
     state0 = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (S,) + jnp.shape(x)), one0)

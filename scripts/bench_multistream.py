@@ -125,9 +125,9 @@ def main():
             [xyz, jnp.ones((F, s, M, 1), jnp.float32)], axis=-1)
         return images, clouds
 
-    def run_size(vars_, S, tag):
+    def run_size(vars_, S, tag, compact=None):
         multi_raw = _build_multistream_step(net, cfg.assoc, (CROP, CROP),
-                                            P)
+                                            P, compact_capacity=compact)
         multi = jax.jit(multi_raw, donate_argnums=(1,))
         images, clouds = jax.device_put(
             gen(jax.random.PRNGKey(3), S), dev)
@@ -189,6 +189,8 @@ def main():
             "device_ms_per_frame": round(dev_ms, 3),
             "device_fps_aggregate": round(1e3 / dev_ms, 1),
         }
+        if compact is not None:
+            row["compact_capacity"] = compact
         hb(f"{tag} S={S}: batch p50 {row['batch_ms_p50']} ms "
            f"({row['ms_per_frame_sync']} ms/frame sync, "
            f"{row['device_ms_per_frame']} ms/frame device)")
@@ -206,6 +208,17 @@ def main():
         "bf16": {str(S): run_size(variables, S, "bf16") for S in SIZES},
     }
 
+    # Compact-first rows: the workload's per-stream detection count is
+    # 3..16, so capacity 16*S (MMMOT_MS_COMPACT_PER_S, 0 = skip) is
+    # provably lossless here — in deployment size it at S x the p99
+    # per-stream count (overflow detections drop, ids -1).
+    cper = int(os.environ.get("MMMOT_MS_COMPACT_PER_S", 16))
+    if cper:
+        result["config"]["compact_per_stream"] = cper
+        result["bf16_compact"] = {
+            str(S): run_size(variables, S, f"bf16/c{cper * S}",
+                             compact=cper * S) for S in SIZES}
+
     if os.environ.get("MMMOT_MS_INT8", "1") not in ("", "0"):
         from mmmot_tpu.models.quantize import with_int8_appearance
         from mmmot_tpu.ops.crop_resize import normalize_crops
@@ -218,6 +231,10 @@ def main():
         jax.block_until_ready(vars_q)
         result["int8"] = {str(S): run_size(vars_q, S, "int8")
                           for S in SIZES}
+        if cper:
+            result["int8_compact"] = {
+                str(S): run_size(vars_q, S, f"int8/c{cper * S}",
+                                 compact=cper * S) for S in SIZES}
 
     print(json.dumps(result), flush=True)
     out = os.environ.get("MMMOT_MS_OUT")

@@ -387,11 +387,16 @@ def test_window_export_matches_live_and_chains(tmp_path, rng):
         DeployedTracker.load(out_dir)
 
 
-def test_multistream_step_matches_per_stream(artifact, rng):
+@pytest.mark.parametrize("compact", [None, 8])
+def test_multistream_step_matches_per_stream(artifact, rng, compact):
     """The vmapped multi-stream step (deploy._build_multistream_step) must
     advance each ACTIVE stream exactly like S separate per-frame steps —
     including flushes where only a subset of slots carries a frame
-    (inactive lanes must leave their stream's state untouched)."""
+    (inactive lanes must leave their stream's state untouched).
+
+    ``compact=8`` runs the compact-first variant with capacity above the
+    total valid count (1+2+3 dets): no drops, so it must reproduce the
+    padded path's trajectory exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -406,7 +411,8 @@ def test_multistream_step_matches_per_stream(artifact, rng):
     crop = tuple(cfg.data.crop_size)
     S = 3
     step = jax.jit(_build_step(net, cfg.assoc, crop, P))
-    multi = jax.jit(_build_multistream_step(net, cfg.assoc, crop, P))
+    multi = jax.jit(_build_multistream_step(net, cfg.assoc, crop, P,
+                                            compact_capacity=compact))
 
     # Distinct scenes per stream (different det counts + content).
     scenes = [_scene(np.random.default_rng(100 + s), n_frames=3,
@@ -479,3 +485,73 @@ def test_multistream_step_matches_per_stream(artifact, rng):
     run_flush([1])
 
     assert got == ref_ids, (got, ref_ids)
+
+
+def test_multistream_compact_overflow_drops_valid_first(artifact, rng):
+    """Compact capacity BELOW the batch's valid count: the valid-first
+    gather keeps the first (stream, slot) pairs in flat order and drops
+    the overflow — dropped detections answer -1 exactly like padding,
+    streams whose detections all fit are tracked identically to the
+    uncompacted step."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmot_tpu.deploy import (_build_multistream_step, _build_step,
+                                  _fresh_state, _state_to_dict)
+    from mmmot_tpu.tracker import TrackingModule
+
+    cfg, net, variables = artifact["cfg"], artifact["net"], \
+        artifact["variables"]
+    module = TrackingModule(net, variables, cfg.assoc)
+    N, P = cfg.data.max_dets, cfg.data.point_len
+    crop = tuple(cfg.data.crop_size)
+    S = 3
+    # Streams carry 1, 2, 3 dets; capacity 4 keeps stream 0's det,
+    # stream 1's two, stream 2's first — and drops stream 2's last two.
+    C = 4
+    step = jax.jit(_build_step(net, cfg.assoc, crop, P))
+    multi = jax.jit(_build_multistream_step(net, cfg.assoc, crop, P,
+                                            compact_capacity=C))
+    scenes = [_scene(np.random.default_rng(100 + s), n_frames=1,
+                     n_dets=1 + s) for s in range(S)]
+
+    def padded(fr):
+        n = len(fr["boxes"])
+        boxes = np.zeros((N, 4), np.float32)
+        boxes[:n] = fr["boxes"]
+        mask = np.zeros((N,), bool)
+        mask[:n] = True
+        return boxes, mask, n
+
+    one0 = _state_to_dict(_fresh_state(module, N))
+    states = jax.tree.map(lambda x: jnp.stack([x] * S), one0)
+    ins = {k: np.stack(v) for k, v in {
+        "images": [s[0]["image"] for s in scenes],
+        "clouds": [s[0]["cloud"] for s in scenes],
+        "projs": [s[0]["proj"] for s in scenes]}.items()}
+    boxes = np.zeros((S, N, 4), np.float32)
+    mask = np.zeros((S, N), bool)
+    for s in range(S):
+        b, m, _ = padded(scenes[s][0])
+        boxes[s], mask[s] = b, m
+    _, ids, _ = multi(variables, states, jnp.ones((S,), bool),
+                      jnp.asarray(ins["images"]), jnp.asarray(ins["clouds"]),
+                      jnp.asarray(boxes), jnp.asarray(mask),
+                      jnp.asarray(ins["projs"]))
+    ids = np.asarray(ids)
+
+    # Dropped: stream 2 slots 1, 2 (flat order overflow) + all padding.
+    assert (ids[2, 1:] == -1).all()
+    # Kept detections got real ids.
+    assert (ids[0, :1] >= 0).all()
+    assert (ids[1, :2] >= 0).all()
+    assert ids[2, 0] >= 0
+
+    # Streams that fully fit match the uncompacted per-stream step.
+    for s in (0, 1):
+        st = _state_to_dict(_fresh_state(module, N))
+        b, m, n = padded(scenes[s][0])
+        _, ref, _ = step(variables, st, scenes[s][0]["image"],
+                         scenes[s][0]["cloud"], b, m,
+                         scenes[s][0]["proj"])
+        assert ids[s, :n].tolist() == np.asarray(ref)[:n].tolist()

@@ -98,12 +98,17 @@ def test_serve_warmup(tmp_path):
     assert proc.returncode == 0
 
 
-def test_serve_multistream_interleaved(tmp_path):
+@pytest.mark.parametrize("compact", [None, "3"])
+def test_serve_multistream_interleaved(tmp_path, compact):
     """--streams S: interleaved requests from distinct streams batch into
     one vmapped step with per-stream state isolation — per-stream frame
     counters advance independently, a same-stream pair in one batch is
     split (in-stream order is a state dependency), a full batch answers
-    both requests, and a single-stream reset leaves the others running."""
+    both requests, and a single-stream reset leaves the others running.
+
+    ``--compact 3`` exercises the compact-first variant through the CLI:
+    capacity covers the 2+1 valid dets, so the protocol trajectory is
+    identical."""
     rng = np.random.default_rng(3)
     H, W, M = 96, 192, 400
     proj = np.array([[100.0, 0, W / 2, 0], [0, 100.0, H / 2, 0],
@@ -125,7 +130,8 @@ def test_serve_multistream_interleaved(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-m", "mmmot_tpu.cli.serve",
          "--config", "experiments/tiny_debug/config.yaml", "--cpu",
-         "--streams", "2", "--flush-ms", "30"],
+         "--streams", "2", "--flush-ms", "30"]
+        + (["--compact", compact] if compact else []),
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
         env=dict(os.environ))
     try:
