@@ -52,6 +52,33 @@ def test_noisy_experiment_exposes_mitigation_stack():
     assert m.spatial_gating and m.ghost_coverage and m.carry_boxes
 
 
+def test_lookalike_experiment_exposes_gnn_stack():
+    """The best adversarial-regime row (gnn2_stack_k4,
+    results/adversarial_gnn.json) must be reproducible from config alone:
+    experiments/full_mmmot_lookalike turns on message passing + the
+    mitigation stack, and the fused Pallas kernel must still be
+    supported (round 5: the hops run outside the kernel)."""
+    cfg = load_config("experiments/full_mmmot_lookalike/config.yaml")
+    assert cfg.name == "full_mmmot_lookalike"
+    assert cfg.model.affinity.gnn_rounds == 2
+    assert cfg.assoc.use_det_scores and cfg.assoc.raw_new_end
+    assert cfg.assoc.revival_window == 4 and cfg.assoc.ghost_coverage
+    assert cfg.assoc.iou_gate == 0.1 and cfg.assoc.iou_weight == 1.0
+
+    from mmmot_tpu.kernels.affinity_kernel import pallas_supported
+    from mmmot_tpu.models import model_entry
+    from mmmot_tpu.tracker import TrackingModule
+
+    assert pallas_supported(cfg.model)
+    net = model_entry(cfg.model)
+    m = TrackingModule(net, {"params": {}}, cfg.assoc,
+                       use_pallas_affinity=False)
+    # gnn features are mask-dependent: the y_det+revival stack must fall
+    # back to the sequential scan (hybrid pre-solve auto-disabled), never
+    # silently run an unsound pre-solve.
+    assert not m.hybrid_presolve and not m.parallel_assoc
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text(yaml.safe_dump({"model": {"fusionn": {}}}))
