@@ -243,7 +243,7 @@ def main():
         # bench wall (the calibration forward compiles a throwaway VGG
         # program + dozens of small eager quantization ops, each a tunnel
         # RPC).  A load is one file read + one h2d ship.  Refresh with
-        # MMMOT_BENCH_WRITE_CACHE=1 after model/quantize changes.
+        # MMMOT_BENCH_REQUANT=1 after model/quantize changes.
         from flax import serialization as _ser
 
         from mmmot_tpu.models.quantize import with_int8_appearance
@@ -263,7 +263,13 @@ def main():
         qpath = os.path.join(
             qdir, f"quant_int8_crop{CROP}{'_s2d' if S2D_MODE else ''}"
                   ".msgpack")
-        refresh = os.environ.get("MMMOT_BENCH_WRITE_CACHE", "") not in (
+        # MMMOT_BENCH_REQUANT=1 forces re-derivation (use after
+        # model/quantize changes).  Deliberately INDEPENDENT of
+        # MMMOT_BENCH_WRITE_CACHE: a program-cache refresh should load the
+        # committed quant pytree — re-quantizing is dozens of eager ops,
+        # each a tunnel RPC, and a wedged tunnel can stall it for the
+        # whole bench deadline (measured 15+ min, twice).
+        refresh = os.environ.get("MMMOT_BENCH_REQUANT", "") not in (
             "", "0")
         quant = None
         if os.path.exists(qpath) and not refresh:
