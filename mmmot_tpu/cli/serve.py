@@ -370,7 +370,7 @@ def main(argv=None):
         pts, pmask = frustum_sample_batched(
             cloud[None], boxes[None], proj, P, det_mask=det_mask[None])
         feats = mod.extract(crops, pts[0], pmask[0], det_mask)
-        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
+        if mod.carry_boxes:   # gate / coverage / motion affinity read them
             feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(track_state, feats, det_mask)
         return new_state, out["ids"]

@@ -114,6 +114,16 @@ class AffinityConfig:
     num_layers: int = 2                # MLP depth on the pairwise tensor
     gnn_rounds: int = 0                # message-passing refinement rounds over dets
     softmax_mode: str = "dual"         # "dual" row+col softmax | "single" | "none"
+    # Learned motion affinity (TPU-native addition; the reference scores
+    # links by appearance only — SURVEY §2.8): an MLP of this hidden width
+    # over per-pair box-geometry features (models/affinity.py MotionScore)
+    # adds a trained motion term to the RAW link score, before
+    # normalisation and the new/end heads.  0 = off (faithful default).
+    # Unlike the hard IoU gate (assoc.iou_gate) this is a *learned feature*
+    # trained end-to-end through the association CE, and unlike gnn_rounds
+    # it is mask-independent (boxes are frozen content), so it composes
+    # with the fused Pallas kernel AND every hybrid/parallel pre-solve.
+    motion_dim: int = 0
 
     def __post_init__(self):
         bad = set(self.correlation_ops) - {"mul", "subabs", "diff", "cosine"}
@@ -121,6 +131,9 @@ class AffinityConfig:
             raise ValueError(f"unknown correlation ops {sorted(bad)}")
         if self.softmax_mode not in ("dual", "single", "none"):
             raise ValueError(f"bad softmax_mode {self.softmax_mode!r}")
+        if self.motion_dim < 0:
+            raise ValueError(f"motion_dim must be >= 0, got "
+                             f"{self.motion_dim}")
 
 
 @dataclass(frozen=True)

@@ -80,6 +80,10 @@ class KittiPairLoader:
                     "crops": crops,
                     "points": pts,
                     "point_mask": pmask,
+                    # Detection boxes ride the batch for box-aware model
+                    # terms (affinity.motion_dim); same boxes the eval
+                    # pipeline carries as feats["box"].
+                    "boxes": jnp.asarray(pair.boxes, jnp.float32),
                     "det_mask": jnp.asarray(pair.det_mask),
                     "gt_ids": jnp.asarray(pair.gt_ids),
                     "gt_link": jnp.asarray(lab["link"][None]),

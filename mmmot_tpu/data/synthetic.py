@@ -192,8 +192,9 @@ def make_training_batch(rng: np.random.Generator, batch_size: int = 4,
                         points_per_det: int = 16,
                         **world_kw) -> Dict[str, np.ndarray]:
     """Adjacent-frame-pair training batches (reference sample_max_len=2)."""
-    out = {k: [] for k in ("crops", "points", "point_mask", "det_mask",
-                           "gt_link", "gt_new", "gt_end", "gt_ids")}
+    out = {k: [] for k in ("crops", "points", "point_mask", "boxes",
+                           "det_mask", "gt_link", "gt_new", "gt_end",
+                           "gt_ids")}
     for _ in range(batch_size):
         world = make_synthetic_sequence(
             rng, num_frames=2, num_slots=num_slots, crop_size=crop_size,
@@ -203,6 +204,7 @@ def make_training_batch(rng: np.random.Generator, batch_size: int = 4,
         out["crops"].append(world.crops)
         out["points"].append(world.points)
         out["point_mask"].append(world.point_mask)
+        out["boxes"].append(world.boxes2d)
         out["det_mask"].append(world.det_mask)
         out["gt_ids"].append(world.gt_ids)
         out["gt_link"].append(lab["link"][None])

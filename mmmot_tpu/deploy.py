@@ -166,7 +166,7 @@ def _build_step(net, assoc_cfg, crop: Tuple[int, int], point_len: int,
             cloud[None], boxes[None], proj, point_len,
             det_mask=det_mask[None])
         feats = mod.extract(crops, pts[0], pmask[0], det_mask)
-        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
+        if mod.carry_boxes:   # gate / coverage / motion affinity read them
             feats["box"] = boxes.astype(jnp.float32)
         new_state, out = mod.step_from_feats(_state_from_dict(state_d),
                                              feats, det_mask)
@@ -267,7 +267,7 @@ def _build_multistream_step_compact(net, assoc_cfg, crop: Tuple[int, int],
             clouds, boxes, projs, point_len, det_mask=live)
         feats, kept = _compact_extract(mod, crops, pts, pmask, live,
                                        capacity=capacity)
-        if mod.carry_boxes:   # spatial gate OR ghost coverage reads them
+        if mod.carry_boxes:   # gate / coverage / motion affinity read them
             feats["box"] = boxes.astype(jnp.float32)
 
         def one(state_d, f, m):

@@ -28,6 +28,9 @@ outputs track the bf16 XLA path.  Supported: ``num_layers=2``,
 ``gnn_rounds=0`` (the flagship affinity), new/end ``version=2``, all pool
 modes (max/mean/softmax) and softmax modes (dual/single/none); anything
 else falls back to the XLA path upstream (tracker/tracker.py).
+``gnn_rounds > 0`` composes via pre-kernel XLA hops, and the learned
+motion affinity (``affinity.motion_dim``) via the optional ``link_bias``
+input — neither needs the fallback.
 
 Reference anchors: models/gcn.py (correlation + link head), models/
 new_end.py NewEndIndicator_v2, tracking_net.py score fusion — SURVEY.md
@@ -89,14 +92,22 @@ def _pool(link, pm_f, axis, mode: str):
     raise ValueError(f"unknown pool {mode!r}")
 
 
-def _kernel(a_ref, b_ref, mp_ref, mpc_ref, mc_ref,
-            w1_ref, b1_ref, mean_ref, inv_ref, sc_ref, sb_ref,
-            w2_ref, b2_ref,
-            wn1_ref, wnp_ref, bn1_ref, wn2_ref, bn2_ref,
-            we1_ref, wep_ref, be1_ref, ew2_ref, eb2_ref,
-            link_ref, norm_ref, new_ref, end_ref, *,
+def _kernel(a_ref, b_ref, mp_ref, mpc_ref, mc_ref, *refs,
             ops: Tuple[str, ...], pool: str, softmax_mode: str,
-            avg: bool, block_rows: int):
+            avg: bool, block_rows: int, has_bias: bool = False):
+    # Optional additive link bias (the learned motion affinity,
+    # models/affinity.py::MotionScore, computed as a batched XLA op
+    # upstream): added to the combined link score in f32 BEFORE the mask
+    # multiply, the dual-softmax normalisation and the new/end pooling —
+    # exactly where the XLA path (TrackingNet.affinity_link) adds it.
+    # When absent the emitted ops are identical to the bias-free kernel.
+    if has_bias:
+        bias_ref, *refs = refs
+    (w1_ref, b1_ref, mean_ref, inv_ref, sc_ref, sb_ref,
+     w2_ref, b2_ref,
+     wn1_ref, wnp_ref, bn1_ref, wn2_ref, bn2_ref,
+     we1_ref, wep_ref, be1_ref, ew2_ref, eb2_ref,
+     link_ref, norm_ref, new_ref, end_ref) = refs
     K = a_ref.shape[1]
     N = a_ref.shape[2]
     cdt = a_ref.dtype
@@ -136,6 +147,8 @@ def _kernel(a_ref, b_ref, mp_ref, mpc_ref, mc_ref,
         if avg:
             acc = acc / jnp.asarray(K, f32)
         acc = acc[:, 0].reshape(block_rows, N)
+        if has_bias:
+            acc = acc + bias_ref[0, sl, :]
         # Prev-mask block from the COLUMN-layout copy: a dynamic slice on
         # the lane (minor) dim would need 128 alignment; on the sublane
         # dim block_rows alignment suffices.
@@ -193,6 +206,7 @@ def _pad_n(x, n_pad, axis):
 def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
                     mask_prev: jnp.ndarray, mask_curr: jnp.ndarray,
                     params: Dict[str, jnp.ndarray], *,
+                    link_bias: jnp.ndarray | None = None,
                     ops: Tuple[str, ...] = ("subabs",),
                     pool: str = "max", softmax_mode: str = "dual",
                     avg: bool = False, block_rows: int = 16,
@@ -205,6 +219,9 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
     mask_curr:  [B, N] bool validity.
     params:     stacked head parameters from
                 :func:`build_affinity_params`.
+    link_bias:  optional [B, N, N] float32 additive link term (the learned
+                motion affinity) applied before normalisation and the
+                new/end heads — matching TrackingNet.affinity_link.
     Returns (link [B,N,N], link_norm [B,N,N], new [B,N], end [B,N]) in the
     input compute dtype.  N is padded internally to a multiple of
     ``block_rows`` (and TPU sublane alignment); outputs are sliced back.
@@ -227,9 +244,13 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
     hh = params["wn2"].shape[-2]
     Dc = params["w1"].shape[-2]
 
+    has_bias = link_bias is not None
+    if has_bias:
+        link_bias = _pad_n(_pad_n(link_bias.astype(jnp.float32),
+                                  n_pad, 1), n_pad, 2)
     kernel = functools.partial(
         _kernel, ops=ops, pool=pool, softmax_mode=softmax_mode, avg=avg,
-        block_rows=min(block_rows, n_pad))
+        block_rows=min(block_rows, n_pad), has_bias=has_bias)
     vm = pltpu.VMEM
     wspecs = [
         pl.BlockSpec((1, K, Dc, H), lambda i: (0, 0, 0, 0), memory_space=vm),
@@ -274,7 +295,9 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
                              memory_space=vm),
                 pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
                              memory_space=vm),
-            ] + wspecs,
+            ] + ([pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
+                               memory_space=vm)] if has_bias else []
+                 ) + wspecs,
             out_specs=(
                 pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
                              memory_space=vm),
@@ -294,6 +317,7 @@ def pallas_affinity(a: jnp.ndarray, b: jnp.ndarray,
         ),
         interpret=interpret,
     )(a, b, mp, mpc, mc,
+      *((link_bias,) if has_bias else ()),
       p["w1"][None], p["b1"][None], p["bn_mean"][None], p["bn_inv"][None],
       p["bn_scale"][None], p["bn_bias"][None], p["w2"][None], p["b2"][None],
       p["wn1"], p["wnp"], p["bn1"], p["wn2"], p["bn2"],

@@ -92,6 +92,40 @@ class GNNRefine(nn.Module):
                                                         mask_a, mask_b)
 
 
+class MotionScore(nn.Module):
+    """Learned motion affinity: an MLP over per-pair box-geometry features
+    (ops/boxes.py::pair_motion_features) producing a scalar added to the
+    RAW link score before normalisation and the new/end heads.
+
+    TPU-native addition (the reference's ILP scores links by appearance
+    only — SURVEY §2.8): where the hard spatial gate (assoc.iou_gate) is an
+    un-trained floor, this term is trained end-to-end through the joint
+    association cross-entropy, so the model learns how much geometry should
+    outvote appearance — decisive on look-alike (clone) regimes where
+    appearance carries no signal.  Runs in float32 end-to-end (box
+    coordinates and the tiny [.., N, N, 6] MLP are negligible next to the
+    conv stack; f32 keeps every execution path bit-identical).
+
+    The output layer is zero-initialised so a freshly-initialised model
+    scores exactly like the appearance-only architecture — training grows
+    the motion term from zero rather than starting from noise.
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, box_prev, box_curr, mask_prev, mask_curr):
+        from mmmot_tpu.ops.boxes import pair_motion_features
+
+        g = pair_motion_features(box_prev, box_curr)
+        h = nn.relu(nn.Dense(self.hidden_dim, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="dense_0")(g))
+        s = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.zeros, name="dense_1")(h)
+        pm = pair_mask(mask_prev, mask_curr)
+        return s[..., 0] * pm.astype(jnp.float32)
+
+
 class AffinityModule(nn.Module):
     """Pairwise link scores between prev/curr detection embeddings.
 

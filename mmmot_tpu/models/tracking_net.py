@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mmmot_tpu.config import ModelConfig
-from mmmot_tpu.models.affinity import AffinityModule, normalize_link
+from mmmot_tpu.models.affinity import (AffinityModule, MotionScore,
+                                        normalize_link)
 from mmmot_tpu.models.appearance import AppearanceNet
 from mmmot_tpu.models.fusion import FusionModule
 from mmmot_tpu.models.layers import MLP
@@ -86,6 +87,12 @@ class TrackingNet(nn.Module):
             b: AffinityModule(cfg=c.affinity, dtype=dt, param_dtype=pt,
                               name=f"affinity_{b}")
             for b in self.score_branches}
+        if c.affinity.motion_dim:
+            # Learned motion affinity (f32 — see MotionScore): created only
+            # when configured so default param trees / checkpoints are
+            # unchanged.
+            self.motion = MotionScore(hidden_dim=c.affinity.motion_dim,
+                                      name="motion")
         self.new_end = NewEndHead(cfg=c.new_end, dtype=dt, param_dtype=pt)
         self.det_head = MLP((c.new_end.hidden_dim, 1), use_bn=False,
                             dtype=dt, param_dtype=pt, name="det_head")
@@ -142,6 +149,15 @@ class TrackingNet(nn.Module):
                 feats_prev[b], feats_curr[b], mask_prev, mask_curr)
         return out_p, out_c
 
+    def motion_bias(self, box_prev, box_curr, mask_prev, mask_curr
+                    ) -> jnp.ndarray:
+        """Learned motion term [.., Np, Nc] float32 (zero at invalid
+        pairs).  Separately callable: the fused Pallas kernel path computes
+        this as a batched XLA op and hands it to the kernel as an additive
+        link bias (applied before normalisation and new/end pooling, same
+        as the XLA path below)."""
+        return self.motion(box_prev, box_curr, mask_prev, mask_curr)
+
     def affinity_link(self, feats_prev: Dict[str, jnp.ndarray],
                       feats_curr: Dict[str, jnp.ndarray],
                       mask_prev, mask_curr, *, train: bool = False
@@ -152,6 +168,13 @@ class TrackingNet(nn.Module):
         batches just the correlation matmuls over all T pairs and
         re-derives normalisation + new/end per frame with the exact
         carried masks, so computing them here would be discarded work.
+
+        With ``affinity.motion_dim`` > 0 the learned motion term is added
+        here, from the ``"box"`` entries riding the feats dicts — so every
+        consumer (training forward, sequential scan, parallel pre-solve,
+        both hybrid pre-solves) gets identical motion-aware scores with no
+        further plumbing; ghost slots contribute their frozen boxes,
+        matching the sequential scan exactly.
         """
         links = []
         for b in self.score_branches:
@@ -163,6 +186,16 @@ class TrackingNet(nn.Module):
         link = jnp.sum(jnp.stack(links), axis=0)
         if self.cfg.score_fusion == "avg":
             link = link / len(links)
+        if self.cfg.affinity.motion_dim:
+            if "box" not in feats_prev or "box" not in feats_curr:
+                raise ValueError(
+                    "affinity.motion_dim > 0 needs per-detection boxes: "
+                    "carry them as feats['box'] (the raw-frames pipeline "
+                    "and predict(boxes=...) do; training batches need a "
+                    "'boxes' [B, T, N, 4] entry)")
+            link = link + self.motion_bias(
+                feats_prev["box"], feats_curr["box"], mask_prev, mask_curr
+            ).astype(link.dtype)
         return link
 
     def affinity(self, feats_prev: Dict[str, jnp.ndarray],
@@ -227,6 +260,12 @@ class TrackingNet(nn.Module):
         else:
             feats = self.extract(crops, points, point_mask, det_mask,
                                  train=train)
+        if self.cfg.affinity.motion_dim:
+            if "boxes" not in batch:
+                raise ValueError(
+                    "affinity.motion_dim > 0: training batches must carry "
+                    "'boxes' [B, T, N, 4] detection boxes (pixel l,t,r,b)")
+            feats = dict(feats, box=batch["boxes"].astype(jnp.float32))
         outs = []
         for t in range(T - 1):
             fp = {k: v[:, t] for k, v in feats.items()}

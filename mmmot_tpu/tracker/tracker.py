@@ -223,11 +223,19 @@ class TrackingModule:
                     and self.assoc_cfg.revival_window)
 
     @property
+    def motion_on(self) -> bool:
+        """Whether the learned motion affinity is configured
+        (``affinity.motion_dim`` > 0) — the link scores then include a
+        trained box-geometry term (models/affinity.py::MotionScore)."""
+        return self.net.cfg.affinity.motion_dim > 0
+
+    @property
     def carry_boxes(self) -> bool:
         """Whether the pipeline must carry per-detection boxes
-        (``feats["box"]``): the spatial gate reads them, and ghost
-        coverage both reads them and derives per-track velocities."""
-        return self.spatial_gating or self.ghost_coverage
+        (``feats["box"]``): the spatial gate reads them, ghost coverage
+        both reads them and derives per-track velocities, and the learned
+        motion affinity scores them."""
+        return self.spatial_gating or self.ghost_coverage or self.motion_on
 
     @property
     def class_gating(self) -> bool:
@@ -328,13 +336,28 @@ class TrackingModule:
                       axis=-3)
         b = jnp.stack([feats_curr[b].astype(cdt) for b in branches],
                       axis=-3)
+        bias = None
+        if self.motion_on:
+            # Learned motion affinity: the tiny box-geometry MLP runs as a
+            # batched XLA op and enters the kernel as an additive link
+            # bias (applied before normalisation/new-end pooling, exactly
+            # where TrackingNet.affinity_link adds it on the XLA path).
+            if "box" not in feats_prev or "box" not in feats_curr:
+                raise ValueError(
+                    "affinity.motion_dim > 0 needs per-detection boxes: "
+                    "carry them as feats['box'] (the raw-frames pipeline "
+                    "and predict(boxes=...) do)")
+            bias = self.net.apply(
+                self.variables, feats_prev["box"], feats_curr["box"],
+                mask_prev, mask_curr, method=self.net.motion_bias)
         unbatched = a.ndim == 3
         if unbatched:
             a, b = a[None], b[None]
             mask_prev, mask_curr = mask_prev[None], mask_curr[None]
+            bias = None if bias is None else bias[None]
         params = build_affinity_params(self.variables, cfg, branches, cdt)
         link, link_norm, new, end = pallas_affinity(
-            a, b, mask_prev, mask_curr, params,
+            a, b, mask_prev, mask_curr, params, link_bias=bias,
             ops=cfg.affinity.correlation_ops, pool=cfg.new_end.pool,
             softmax_mode=cfg.affinity.softmax_mode,
             avg=cfg.score_fusion == "avg",

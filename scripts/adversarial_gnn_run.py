@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--steps-per-epoch", type=int, default=60)
     ap.add_argument("--gnn", type=int, nargs="+", default=[0, 2])
+    ap.add_argument("--motion", type=int, default=0,
+                    help="affinity.motion_dim for every trained model "
+                         "(learned box-geometry link term; 0 = off).  "
+                         "Nonzero runs get 'm<dim>' in their row keys and "
+                         "checkpoint names")
     ap.add_argument("--crop", type=int, default=112)
     ap.add_argument("--point-len", type=int, default=256)
     ap.add_argument("--out", default="results/adversarial_gnn.json")
@@ -107,11 +112,13 @@ def main():
     for rounds in args.gnn:
         base = tiny(crop=32, max_dets=32, point_len=32) if args.tiny \
             else flagship(crop=args.crop, point_len=args.point_len)
+        tag_g = f"gnn{rounds}" + (f"m{args.motion}" if args.motion else "")
         cfg = base.replace(
             model=dataclasses.replace(
                 base.model,
                 affinity=dataclasses.replace(base.model.affinity,
-                                             gnn_rounds=rounds)),
+                                             gnn_rounds=rounds,
+                                             motion_dim=args.motion)),
             data=dataclasses.replace(base.data, root=args.root,
                                      det_source="noisy", max_dets=32,
                                      packed_cache=True),
@@ -134,7 +141,7 @@ def main():
                               loss_weights=cfg.train.loss_weights,
                               compact_capacity=cfg.train.compact_capacity)
 
-        ckpt = (os.path.join(args.ckpt_dir, f"adv_gnn{rounds}.msgpack")
+        ckpt = (os.path.join(args.ckpt_dir, f"adv_{tag_g}.msgpack")
                 if args.ckpt_dir else "")
         from flax import serialization
 
@@ -170,7 +177,7 @@ def main():
             module = TrackingModule(net, variables, assoc)
             stats = track_kitti_sequences(
                 module, cfg.data,
-                os.path.join("results", "adv_gnn", f"g{rounds}_{tag}"),
+                os.path.join("results", "adv_gnn", f"{tag_g}_{tag}"),
                 sequences=[val_seq], window=64, evaluate=True)
             m = stats["metrics"]
             row = {"mota": round(float(m.mota), 4),
@@ -189,28 +196,28 @@ def main():
             if "hota" in stats:
                 row["hota"] = round(float(stats["hota"].hota), 4)
                 row["assa"] = round(float(stats["hota"].assa), 4)
-            print(f"[gnn={rounds}] {tag:8s} {row}", flush=True)
+            print(f"[{tag_g}] {tag:8s} {row}", flush=True)
             return row
 
-        rows[f"gnn{rounds}_plain"] = run("plain", cfg.assoc)
+        rows[f"{tag_g}_plain"] = run("plain", cfg.assoc)
         stack = dataclasses.replace(
             cfg.assoc, use_det_scores=True, raw_new_end=True,
             revival_window=2, iou_weight=1.0, iou_gate=0.1,
             ghost_coverage=True)
-        rows[f"gnn{rounds}_stack"] = run("stack", stack)
+        rows[f"{tag_g}_stack"] = run("stack", stack)
         # Motion-predicted gating (assoc.gate_predict): the iou gate
         # compares against each track's constant-velocity PREDICTED box —
         # on THIS regime (occlusion bursts at crossings) the frozen box
         # is stale by exactly the miss length, so this is where a motion
         # prior should earn its keep (round-4 verdict weak #3).
-        rows[f"gnn{rounds}_stack_pred"] = run(
+        rows[f"{tag_g}_stack_pred"] = run(
             "stack_pred", dataclasses.replace(stack, gate_predict=True))
         if args.k_sweep:
             # Revival window on the regime with occlusion BURSTS — where a
             # longer K could matter (round-4 verdict weak #2: K=2 was the
             # first value tried, never swept here).
             for K in args.k_sweep:
-                rows[f"gnn{rounds}_stack_k{K}"] = run(
+                rows[f"{tag_g}_stack_k{K}"] = run(
                     f"stack_k{K}",
                     dataclasses.replace(stack, revival_window=K))
 

@@ -95,6 +95,10 @@ def main():
                          "the s2d trunk and write the ..._s2d section — "
                          "the quality side of the stem-rewrite trade "
                          "(throughput side: MMMOT_BENCH_S2D=1 bench.py)")
+    ap.add_argument("--motion", type=int, default=0,
+                    help="affinity.motion_dim: learned box-geometry link "
+                         "term trained end-to-end (0 = off).  Writes the "
+                         "..._motion<dim> section")
     ap.add_argument("--distractors", action="store_true",
                     help="build the tree WITH ignore-semantics GT (Van "
                          "distractor tracks, DontCare clutter regions, "
@@ -147,6 +151,10 @@ def main():
         if args.s2d:
             kw["s2d_stem"] = True
         cfg = flagship(**kw)
+    if args.motion:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, affinity=dataclasses.replace(
+                cfg.model.affinity, motion_dim=args.motion)))
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, root=args.root,
                                  det_source="noisy",
@@ -331,6 +339,8 @@ def main():
         cli += f" --crop {args.crop}"
     if args.point_len:
         cli += f" --point-len {args.point_len}"
+    if args.motion:
+        cli += f" --motion {args.motion}"
     for flag in ("distractors", "sweep_coverage", "sweep_k", "sweep_combo",
                  "s2d"):
         if getattr(args, flag):
@@ -361,6 +371,8 @@ def main():
         key_name += "_distractors"
     if args.s2d:
         key_name += "_s2d"
+    if args.motion:
+        key_name += f"_motion{args.motion}"
     if key_name in doc and isinstance(doc[key_name].get("rows"), dict):
         # Sweep invocations (--skip-base-rows) MERGE into the existing
         # section instead of dropping the base rows.
