@@ -250,6 +250,11 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as fh:
             doc = json.load(fh)
+    # Merge rows: a partial sweep (e.g. --gnn 0 --motion 8) extends the
+    # measured table; only re-run keys are replaced.  Everything measured
+    # on this regime stays comparable because the tree build is seeded.
+    prev = doc.get("adversarial", {}).get("rows", {})
+    section["rows"] = {**prev, **rows}
     doc["adversarial"] = section
     with open(args.out, "w") as fh:
         json.dump(doc, fh, indent=2)
